@@ -1,0 +1,231 @@
+"""Typed config + CLI flag registry.
+
+Mirrors the public flag surface of the reference (`/root/reference/opt.py:4-248`)
+so that `run.sh`-style invocations work unchanged, but stores everything in a
+frozen (hashable) dataclass so configs can be closed over by jitted functions
+as static data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # data
+    root_dir: str = ""
+    dataset_name: str = "blender"  # blender | llff | real_colmap | real_arkit
+    img_wh: Tuple[int, int] = (800, 800)
+    spheric_poses: bool = False
+
+    # encodings / sampling
+    N_emb_xyz: int = 10
+    N_emb_dir: int = 4
+    N_samples: int = 64
+    N_importance: int = 128
+    use_disp: bool = False
+    perturb: float = 1.0
+    noise_std: float = 1.0
+
+    # exec
+    batch_size: int = 1024
+    chunk: int = 32 * 1024
+    num_epochs: int = 16
+    num_gpus: int = 1  # kept for CLI parity; maps to number of mesh devices
+
+    # checkpoints
+    ckpt_path: Optional[str] = None
+    prefixes_to_ignore: Tuple[str, ...] = ("loss",)
+    weight_path: Optional[str] = None
+
+    # optim
+    optimizer: str = "adam"  # sgd | adam | radam | ranger
+    lr: float = 5e-4
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    lr_scheduler: str = "steplr"  # steplr | cosine | poly
+    warmup_multiplier: float = 1.0
+    warmup_epochs: int = 0
+    decay_step: Tuple[int, ...] = (20,)
+    decay_gamma: float = 0.1
+    poly_exp: float = 0.9
+
+    exp_name: str = "exp"
+
+    # model
+    model_type: str = "nerf"  # nerf | nerf_tcnn (ngp-style hash-grid model)
+    predict_normal: bool = False
+    predict_mirror_mask: bool = False
+    trace_secondary_rays: bool = False
+    only_one_field: bool = False
+    only_one_field_fine_epoch: int = 2
+
+    # dataset geometry
+    bound: float = 1.0
+    near: float = 0.05
+    far: float = 8.0
+    scale_factor: float = 1.0
+    val_idx: int = 0
+    train_skip_step: int = 1
+
+    # training strategy
+    max_recursive_level: int = 1
+    only_trace_rays_in_mirrors: bool = False
+    for_vis: bool = False
+    debug: bool = False
+    train_geometry_stage: bool = False
+    train_geometry_stage_end_epoch: int = 4
+    smooth_mirror_start_epoch: int = 2
+    train_mirror_mask_start_epoch: int = 2
+    train_normal_start_epoch: int = 1
+
+    # detach (stop-gradient) controls
+    detach_density_outside_mirror_for_mask_loss: bool = False
+    detach_density_for_mask_loss: bool = False
+    detach_density_for_normal_loss: bool = False
+    detach_normal_in_reflection: bool = False
+    woMaskRGBtoBlack: bool = False
+    detach_ref_color_for_blend: bool = False
+
+    # loss switches
+    normal_loss_only_inside_mirror: bool = False
+    use_plane_consistent_loss: bool = False
+
+    # loss weights
+    color_loss_weight: float = 1.0
+    normal_loss_weight: float = 1e-4
+    normal_reg_loss_weight: float = 0.1
+    mirror_mask_loss_weight: float = 0.1
+    plane_consistent_loss_weight: float = 0.1
+
+    # --- TPU-specific additions (not in the reference surface) ---
+    seed: int = 1
+    mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on one axis
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # bfloat16 for the ngp path
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    d = Config()
+    p = parser
+    p.add_argument("--root_dir", type=str, default=d.root_dir)
+    p.add_argument("--dataset_name", type=str, default=d.dataset_name,
+                   choices=["blender", "llff", "real_colmap", "real_arkit"])
+    p.add_argument("--img_wh", nargs="+", type=int, default=list(d.img_wh))
+    p.add_argument("--spheric_poses", default=False, action="store_true")
+
+    p.add_argument("--N_emb_xyz", type=int, default=d.N_emb_xyz)
+    p.add_argument("--N_emb_dir", type=int, default=d.N_emb_dir)
+    p.add_argument("--N_samples", type=int, default=d.N_samples)
+    p.add_argument("--N_importance", type=int, default=d.N_importance)
+    p.add_argument("--use_disp", default=False, action="store_true")
+    p.add_argument("--perturb", type=float, default=d.perturb)
+    p.add_argument("--noise_std", type=float, default=d.noise_std)
+
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--chunk", type=int, default=d.chunk)
+    p.add_argument("--num_epochs", type=int, default=d.num_epochs)
+    p.add_argument("--num_gpus", type=int, default=d.num_gpus)
+
+    p.add_argument("--ckpt_path", type=str, default=None)
+    p.add_argument("--prefixes_to_ignore", nargs="+", type=str, default=["loss"])
+    p.add_argument("--weight_path", type=str, default=None)
+
+    p.add_argument("--optimizer", type=str, default=d.optimizer,
+                   choices=["sgd", "adam", "radam", "ranger"])
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--momentum", type=float, default=d.momentum)
+    p.add_argument("--weight_decay", type=float, default=d.weight_decay)
+    p.add_argument("--lr_scheduler", type=str, default=d.lr_scheduler,
+                   choices=["steplr", "cosine", "poly"])
+    p.add_argument("--warmup_multiplier", type=float, default=d.warmup_multiplier)
+    p.add_argument("--warmup_epochs", type=int, default=d.warmup_epochs)
+    p.add_argument("--decay_step", nargs="+", type=int, default=list(d.decay_step))
+    p.add_argument("--decay_gamma", type=float, default=d.decay_gamma)
+    p.add_argument("--poly_exp", type=float, default=d.poly_exp)
+
+    p.add_argument("--exp_name", type=str, default=d.exp_name)
+
+    p.add_argument("--model_type", type=str, default=d.model_type,
+                   choices=["nerf", "nerf_tcnn"])
+    p.add_argument("--predict_normal", action="store_true", default=False)
+    p.add_argument("--predict_mirror_mask", action="store_true", default=False)
+    p.add_argument("--trace_secondary_rays", action="store_true", default=False)
+    p.add_argument("--only_one_field", action="store_true", default=False)
+    p.add_argument("--only_one_field_fine_epoch", type=int,
+                   default=d.only_one_field_fine_epoch)
+
+    p.add_argument("--bound", type=float, default=d.bound)
+    p.add_argument("--near", type=float, default=d.near)
+    p.add_argument("--far", type=float, default=d.far)
+    p.add_argument("--scale_factor", type=float, default=d.scale_factor)
+    p.add_argument("--val_idx", type=int, default=d.val_idx)
+    p.add_argument("--train_skip_step", type=int, default=d.train_skip_step)
+
+    p.add_argument("--max_recursive_level", type=int, default=d.max_recursive_level)
+    p.add_argument("--only_trace_rays_in_mirrors", action="store_true", default=False)
+    p.add_argument("--for_vis", action="store_true", default=False)
+    p.add_argument("--debug", action="store_true", default=False)
+    p.add_argument("--train_geometry_stage", action="store_true", default=False)
+    p.add_argument("--train_geometry_stage_end_epoch", type=int,
+                   default=d.train_geometry_stage_end_epoch)
+    p.add_argument("--smooth_mirror_start_epoch", type=int,
+                   default=d.smooth_mirror_start_epoch)
+    p.add_argument("--train_mirror_mask_start_epoch", type=int,
+                   default=d.train_mirror_mask_start_epoch)
+    p.add_argument("--train_normal_start_epoch", type=int,
+                   default=d.train_normal_start_epoch)
+
+    p.add_argument("--detach_density_outside_mirror_for_mask_loss",
+                   action="store_true", default=False)
+    p.add_argument("--detach_density_for_mask_loss", action="store_true", default=False)
+    p.add_argument("--detach_density_for_normal_loss", action="store_true", default=False)
+    p.add_argument("--detach_normal_in_reflection", action="store_true", default=False)
+    p.add_argument("--woMaskRGBtoBlack", action="store_true", default=False)
+    p.add_argument("--detach_ref_color_for_blend", action="store_true", default=False)
+
+    p.add_argument("--normal_loss_only_inside_mirror", action="store_true", default=False)
+    p.add_argument("--use_plane_consistent_loss", action="store_true", default=False)
+
+    p.add_argument("--color_loss_weight", type=float, default=d.color_loss_weight)
+    p.add_argument("--normal_loss_weight", type=float, default=d.normal_loss_weight)
+    p.add_argument("--normal_reg_loss_weight", type=float, default=d.normal_reg_loss_weight)
+    p.add_argument("--mirror_mask_loss_weight", type=float, default=d.mirror_mask_loss_weight)
+    p.add_argument("--plane_consistent_loss_weight", type=float,
+                   default=d.plane_consistent_loss_weight)
+
+    # TPU-specific
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--param_dtype", type=str, default=d.param_dtype)
+    p.add_argument("--compute_dtype", type=str, default=d.compute_dtype)
+    return p
+
+
+def config_from_namespace(ns: argparse.Namespace) -> Config:
+    known = {f.name for f in dataclasses.fields(Config)}
+    kw = {}
+    for k, v in vars(ns).items():
+        if k not in known:
+            continue
+        if isinstance(v, list):
+            v = tuple(v)
+        kw[k] = v
+    if "img_wh" in kw:
+        kw["img_wh"] = tuple(int(x) for x in kw["img_wh"])
+    return Config(**kw)
+
+
+def get_opts(argv=None, parser: Optional[argparse.ArgumentParser] = None) -> Config:
+    """Parse CLI flags into a Config (same flag names as reference opt.py)."""
+    if parser is None:
+        parser = argparse.ArgumentParser()
+        add_common_args(parser)
+    ns = parser.parse_args(argv)
+    return config_from_namespace(ns)

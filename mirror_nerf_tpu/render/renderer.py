@@ -1,0 +1,257 @@
+"""Volume renderer: one jittable pass over a fixed-size ray batch.
+
+Capability parity with reference `models/rendering.py:54-369` (render_rays and
+its inner `inference`): stratified coarse sampling, alpha compositing with
+σ-noise, inverse-CDF fine resampling over the detached interior coarse
+weights, `only_one_field` / `test_time` semantics, mirror-mask and normal
+aggregation with the reference's exact stop-gradient variants, and surface
+points x = o + d·depth.
+
+TPU-first differences from the torch version:
+  * no chunking — the caller picks the batch size; XLA sees one static shape
+  * the σ-gradient normal is one batched `jax.vjp`, not per-chunk autograd
+  * runtime "is the GT mask valid?" checks become traced scalar predicates
+    feeding `jnp.where` gradient gates (values identical, gradients gated)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.mathutil import l2_normalize
+from ..core.sampling import merge_fine_z_vals, stratified_z_vals
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static knobs of one render_rays call (hashable; safe to close over)."""
+
+    N_samples: int = 64
+    N_importance: int = 128
+    use_disp: bool = False
+    perturb: float = 1.0
+    noise_std: float = 1.0
+    white_back: bool = False
+    test_time: bool = False
+    # compute the σ-gradient (analytic) normal alongside density
+    compute_normal: bool = True
+    # fine pass behavior (resolved from only_one_field + epoch by the caller):
+    #   "fine"   — run the fine model on merged samples (the default twin-field)
+    #   "coarse" — re-run the coarse model on merged samples (only_one_field,
+    #              past the warm-up epoch; reference rendering.py:328-348)
+    #   "none"   — no fine pass (only_one_field during warm-up, or
+    #              N_importance == 0)
+    fine_pass: str = "fine"
+    # stop-gradient plumbing (reference opt.py:211-221)
+    detach_density_outside_mirror_for_mask_loss: bool = False
+    detach_density_for_mask_loss: bool = False
+    detach_density_for_normal_loss: bool = False
+
+    @property
+    def has_fine(self) -> bool:
+        return self.fine_pass != "none" and self.N_importance > 0
+
+
+def _composite_weights(sigmas, z_vals, noise):
+    """α-compositing weights from raw σ (reference rendering.py:182-199)."""
+    deltas = z_vals[:, 1:] - z_vals[:, :-1]
+    delta_inf = jnp.full_like(deltas[:, :1], 1e10)
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-1)
+    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas + noise))
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-10], axis=-1
+    )
+    transmittance = jnp.cumprod(shifted[:, :-1], axis=-1)
+    return alphas * transmittance
+
+
+def _density_with_grad(field, params, xyz_flat):
+    """One batched vjp: σ, trunk features, and ∇σ w.r.t. the raw coords.
+
+    Equivalent to the reference's per-chunk `torch.autograd.grad` normal
+    (`models/mirror_nerf.py:136-146`, `utils/func.py:10-25`) but computed for
+    the whole sample tensor at once; remains differentiable (grad-of-grad)
+    for the normal-supervision losses.
+    """
+    (sigma, geo), vjp_fn = jax.vjp(lambda x: field.density(params, x), xyz_flat)
+    (grad_x,) = vjp_fn((jnp.ones_like(sigma), jnp.zeros_like(geo)))
+    return sigma, geo, grad_x
+
+
+def _inference(
+    field,
+    params,
+    typ: str,
+    xyz: jnp.ndarray,  # (N, S, 3)
+    z_vals: jnp.ndarray,  # (N, S)
+    dirs: jnp.ndarray,  # (N, 3) unit view dirs
+    rng: jax.Array,
+    rs: RenderSettings,
+    results: dict,
+    sigma_only: bool,
+    mirror_mask_per_ray,  # (N,) float GT mask (may carry -1 sentinel) or None
+    gt_mask_valid,  # traced scalar bool or None
+):
+    N, S = z_vals.shape
+    xyz_flat = xyz.reshape(-1, 3)
+
+    if rs.compute_normal:
+        sigma_flat, geo_flat, grad_flat = _density_with_grad(field, params, xyz_flat)
+        normals = l2_normalize(-grad_flat).reshape(N, S, 3)
+    else:
+        sigma_flat, geo_flat = field.density(params, xyz_flat)
+        normals = None
+
+    sigmas = sigma_flat.reshape(N, S)
+
+    pred_normals = None
+    if field.predict_normal:
+        geo_for_normal = (
+            jax.lax.stop_gradient(geo_flat)
+            if rs.detach_density_for_normal_loss
+            else geo_flat
+        )
+        pred_normals = l2_normalize(field.normal_head(params, geo_for_normal))
+        pred_normals = pred_normals.reshape(N, S, 3)
+
+    rgbs = None
+    is_mirrors = None
+    if not sigma_only:
+        dirs_flat = jnp.repeat(dirs, S, axis=0)  # (N*S, 3) — per-sample viewdir
+        rgbs = field.color(params, geo_flat, dirs_flat).reshape(N, S, 3)
+
+        if field.predict_mirror_mask:
+            if rs.detach_density_for_mask_loss:
+                geo_for_mirror = jax.lax.stop_gradient(geo_flat)
+            elif (
+                rs.detach_density_outside_mirror_for_mask_loss
+                and mirror_mask_per_ray is not None
+            ):
+                # Detach the trunk features of samples outside the GT mirror —
+                # but only when the GT mask is valid (traced predicate); the
+                # values are identical either way, only gradients are gated.
+                m = (mirror_mask_per_ray > 0.5)[:, None]  # (N, 1) -> bcast (N, S)
+                m = jnp.broadcast_to(m, (N, S)).reshape(-1)[:, None]
+                keep_grad = jnp.logical_or(m, jnp.logical_not(gt_mask_valid))
+                geo_for_mirror = jnp.where(
+                    keep_grad, geo_flat, jax.lax.stop_gradient(geo_flat)
+                )
+            else:
+                geo_for_mirror = geo_flat
+            is_mirrors = field.mirror_head(params, geo_for_mirror).reshape(N, S)
+
+    noise = jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
+    weights = _composite_weights(sigmas, z_vals, noise)
+    weights_sum = jnp.sum(weights, axis=-1)
+
+    results[f"weights_{typ}"] = weights
+    results[f"opacity_{typ}"] = weights_sum
+    results[f"z_vals_{typ}"] = z_vals
+    if sigma_only:
+        return results
+
+    rgb_map = jnp.sum(weights[..., None] * rgbs, axis=1)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    if rs.white_back:
+        rgb_map = rgb_map + (1.0 - weights_sum[:, None])
+    results[f"rgb_{typ}"] = rgb_map
+    results[f"depth_{typ}"] = depth_map
+
+    if is_mirrors is not None:
+        if rs.detach_density_for_mask_loss:
+            w_for_mask = jax.lax.stop_gradient(weights)
+        elif (
+            rs.detach_density_outside_mirror_for_mask_loss
+            and mirror_mask_per_ray is not None
+        ):
+            m = (mirror_mask_per_ray > 0.5)[:, None]
+            keep_grad = jnp.logical_or(m, jnp.logical_not(gt_mask_valid))
+            w_for_mask = jnp.where(keep_grad, weights,
+                                   jax.lax.stop_gradient(weights))
+        else:
+            w_for_mask = weights
+        results[f"mirror_mask_{typ}"] = jnp.sum(w_for_mask * is_mirrors, axis=-1)
+
+    w_for_normal = (
+        jax.lax.stop_gradient(weights)
+        if rs.detach_density_for_normal_loss
+        else weights
+    )
+    if normals is not None:
+        results[f"normal_{typ}"] = normals
+        results[f"surface_normal_grad_{typ}"] = jnp.sum(
+            normals * w_for_normal[..., None], axis=1
+        )
+    if pred_normals is not None:
+        results[f"pred_normal_{typ}"] = pred_normals
+        results[f"surface_normal_{typ}"] = jnp.sum(
+            pred_normals * w_for_normal[..., None], axis=1
+        )
+    if normals is not None and pred_normals is not None:
+        normal_dif = jnp.sum((normals - pred_normals) ** 2, axis=-1)
+        results[f"normal_dif_{typ}"] = jnp.sum(w_for_normal * normal_dif, axis=-1)
+    return results
+
+
+def render_rays(
+    field,
+    params: dict,  # {"coarse": pytree, "fine": pytree (optional)}
+    rays: jnp.ndarray,  # (N, 8) = [o, d, near, far]
+    rng: jax.Array,
+    rs: RenderSettings,
+    mirror_mask_gt=None,  # (N,) float GT mask with -1 sentinel, or None
+    view_dirs=None,  # optional override for the color-head view direction
+) -> dict:
+    """Render a ray batch through the coarse(+fine) fields. Returns the same
+    result keys as the reference renderer, suffixed _coarse/_fine."""
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    dirs = rays_d if view_dirs is None else view_dirs
+
+    gt_mask_valid = None
+    if mirror_mask_gt is not None:
+        gt_mask_valid = jnp.all(mirror_mask_gt >= 0)
+
+    k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)
+
+    z_vals = stratified_z_vals(
+        k_perturb, near, far, rs.N_samples, rs.use_disp, rs.perturb
+    )
+    xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    results: dict = {}
+    has_fine_model = rs.has_fine
+    coarse_sigma_only = rs.test_time and has_fine_model
+    _inference(
+        field, params["coarse"], "coarse", xyz_coarse, z_vals, dirs,
+        k_noise_c, rs, results, coarse_sigma_only, mirror_mask_gt, gt_mask_valid,
+    )
+
+    if rs.has_fine:
+        z_fine = merge_fine_z_vals(
+            k_pdf, z_vals, results["weights_coarse"], rs.N_importance, rs.perturb
+        )
+        xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_fine[..., None]
+        if rs.fine_pass == "coarse":
+            # only_one_field past warm-up: the *coarse* results are overwritten
+            # by a second pass of the same field on the merged samples
+            # (reference rendering.py:328-348).
+            _inference(
+                field, params["coarse"], "coarse", xyz_fine, z_fine, dirs,
+                k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
+            )
+        else:
+            _inference(
+                field, params["fine"], "fine", xyz_fine, z_fine, dirs,
+                k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
+            )
+
+    for typ in ("coarse", "fine"):
+        if f"depth_{typ}" in results:
+            results[f"x_surface_{typ}"] = (
+                rays_o + rays_d * results[f"depth_{typ}"][:, None]
+            )
+    return results

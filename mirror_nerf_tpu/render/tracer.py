@@ -1,0 +1,194 @@
+"""Whitted-style recursive ray tracer over the volume renderer.
+
+Capability parity with the reference's recursion, which is duplicated in
+`train.py:129-348` (`render_rays_chunk_recursively`) and `eval.py:132-725`.
+Here it exists once, as a statically-unrolled bounce loop inside one jittable
+function:
+
+  * recursion depth is static (`max_recursive_level`), so the Python-level
+    recursion unrolls at trace time into a single XLA program;
+  * the reference's boolean compaction of secondary rays
+    (`only_trace_rays_in_mirrors`, train.py:248-252) becomes masked blending —
+    all rays are traced, non-mirror lanes are multiplied by 0. Same math,
+    static shapes, no host round-trips;
+  * the `mirror_mask.any()` early-outs (train.py:172-176) are dropped — XLA
+    cannot skip work on data-dependent predicates without a `cond`, and in the
+    reflection stage batches essentially always contain mirror pixels.
+
+Gradient-flow notes (load-bearing for training dynamics):
+  * the resolved mirror mask is always stop-gradiented (it comes from GT or a
+    thresholded detached prediction), so the blend trains the reflection
+    *colors*, and the mask head only via its own BCE loss;
+  * the surface normal used for the reflection direction keeps gradients
+    unless `detach_normal_in_reflection`;
+  * `detach_ref_color_for_blend` (active after the geometry stage) stops
+    gradients into the reflected branch of the blend.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.mathutil import l2_normalize, reflect
+from .renderer import RenderSettings, render_rays
+
+# offset pushing secondary-ray origins off the mirror surface
+# (reference train.py:232: ray_forward_offset = 0.1)
+RAY_FORWARD_OFFSET = 0.1
+
+
+@dataclass(frozen=True)
+class TraceSettings:
+    """Static trace configuration (hashable; resolved per stage/epoch)."""
+
+    render: RenderSettings = RenderSettings()
+    # True when tracing is enabled AND we are past the geometry stage
+    trace_secondary_rays: bool = True
+    max_recursive_level: int = 1
+    # "train": use the CLI flag at every level (reference train.py:248)
+    # "eval":  level 0 traces everything, deeper levels compact to mirror rays
+    #          (hardcoded in reference eval.py:159)
+    only_trace_mode: str = "train"
+    only_trace_rays_in_mirrors: bool = False
+    detach_normal_in_reflection: bool = False
+    # resolved from detach_ref_color_for_blend AND epoch >= geo_end+1
+    # (reference train.py:284-289)
+    detach_ref_color_for_blend: bool = False
+    is_eval: bool = False
+
+    def only_in_mirrors(self, level: int) -> bool:
+        if self.only_trace_mode == "eval":
+            return level >= 1
+        return self.only_trace_rays_in_mirrors
+
+    @property
+    def select_type(self) -> str:
+        return "fine" if self.render.fine_pass == "fine" else "coarse"
+
+
+def _resolve_mirror_mask(ts, results, gt_mask, level):
+    """Hard {0,1} mirror mask for this bounce (reference train.py:154-166)."""
+    sel = None
+    for typ in ("fine", "coarse"):
+        if f"mirror_mask_{typ}" in results:
+            sel = results[f"mirror_mask_{typ}"]
+            break
+    if sel is None:
+        return jnp.zeros(gt_mask.shape, gt_mask.dtype)
+    pred = (jax.lax.stop_gradient(sel) > 0.5).astype(gt_mask.dtype)
+    if level > 0:
+        return pred
+    gt_invalid = jnp.any(gt_mask < 0)
+    return jnp.where(gt_invalid, pred, gt_mask)
+
+
+def _surface_normal(ts, results):
+    """Normal driving the reflection (reference train.py:194-215): the
+    predicted head if present, else the σ-gradient normal."""
+    sel = ts.select_type
+    if f"surface_normal_{sel}" in results:
+        n = results[f"surface_normal_{sel}"]
+    elif f"pred_normal_{sel}" in results:
+        n = jnp.sum(
+            results[f"pred_normal_{sel}"]
+            * results[f"weights_{sel}"][..., None],
+            axis=1,
+        )
+    elif f"surface_normal_grad_{sel}" in results:
+        n = results[f"surface_normal_grad_{sel}"]
+    else:
+        n = jnp.sum(
+            results[f"normal_{sel}"] * results[f"weights_{sel}"][..., None],
+            axis=1,
+        )
+    if ts.detach_normal_in_reflection:
+        n = jax.lax.stop_gradient(n)
+    return l2_normalize(n)
+
+
+def trace_rays(
+    field,
+    params: dict,
+    rays: jnp.ndarray,  # (N, 8)
+    mirror_mask_gt: jnp.ndarray,  # (N,) float GT mask (-1 sentinel allowed)
+    rng: jax.Array,
+    ts: TraceSettings,
+    level: int = 0,
+    mirror_mask_prev=None,  # (N,) float resolved mask of the parent bounce
+) -> dict:
+    k_render, k_next = jax.random.split(jax.random.fold_in(rng, level))
+    results = render_rays(
+        field, params, rays, k_render, ts.render, mirror_mask_gt=mirror_mask_gt
+    )
+
+    sel = ts.select_type
+    mirror_mask = _resolve_mirror_mask(ts, results, mirror_mask_gt, level)
+    if (not ts.only_in_mirrors(level)) and level > 0 and mirror_mask_prev is not None:
+        mirror_mask = mirror_mask * jax.lax.stop_gradient(mirror_mask_prev)
+
+    do_trace = ts.trace_secondary_rays and level < ts.max_recursive_level
+    if not do_trace:
+        if ts.is_eval:
+            for typ in ("coarse", "fine"):
+                if f"rgb_{typ}" in results:
+                    results[f"rgb_{typ}_reflect"] = jnp.zeros_like(
+                        results[f"rgb_{typ}"])
+                    results[f"rgb_{typ}_direct"] = jnp.zeros_like(
+                        results[f"rgb_{typ}"])
+            if f"depth_{sel}" in results:
+                results[f"depth_{sel}_reflect"] = jnp.zeros_like(
+                    results[f"depth_{sel}"])
+                results["secondary_rays_o"] = jnp.zeros_like(results[f"rgb_{sel}"])
+                results["reflect_direction"] = jnp.zeros_like(results[f"rgb_{sel}"])
+        results["mirror_mask_resolved"] = mirror_mask
+        return results
+
+    rays_d = rays[:, 3:6]
+    far = rays[:, 7:8]
+
+    secondary_o = results[f"x_surface_{sel}"]
+    normal = _surface_normal(ts, results)
+    reflect_dir = reflect(rays_d, normal)
+
+    secondary_rays = jnp.concatenate(
+        [
+            secondary_o,
+            reflect_dir,
+            jnp.full_like(far, RAY_FORWARD_OFFSET),
+            far,
+        ],
+        axis=-1,
+    )
+
+    sec = trace_rays(
+        field, params, secondary_rays, mirror_mask_gt, k_next, ts,
+        level=level + 1, mirror_mask_prev=mirror_mask,
+    )
+
+    m = mirror_mask[:, None]  # (N, 1), values in {0, 1}, grad-stopped
+    for typ in ("coarse", "fine"):
+        if f"rgb_{typ}" in results and f"rgb_{typ}" in sec:
+            base = results[f"rgb_{typ}"]
+            results[f"rgb_{typ}_direct"] = base
+            reflection = sec[f"rgb_{typ}"]
+            if ts.detach_ref_color_for_blend:
+                reflection = jax.lax.stop_gradient(reflection)
+            results[f"rgb_{typ}"] = m * reflection + (1.0 - m) * base
+            if ts.is_eval:
+                if ts.only_in_mirrors(level):
+                    results[f"rgb_{typ}_reflect"] = m * sec[f"rgb_{typ}"]
+                else:
+                    results[f"rgb_{typ}_reflect"] = sec[f"rgb_{typ}"]
+    if ts.is_eval:
+        if ts.only_in_mirrors(level):
+            results[f"depth_{sel}_reflect"] = mirror_mask * sec[f"depth_{sel}"]
+        else:
+            results[f"depth_{sel}_reflect"] = sec[f"depth_{sel}"]
+        results["secondary_rays_o"] = secondary_o
+        results["reflect_direction"] = reflect_dir
+
+    results["mirror_mask_resolved"] = mirror_mask
+    return results

@@ -1,0 +1,286 @@
+"""Field-model and renderer semantics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mirror_nerf_tpu.models.fields import MirrorNeRFField
+from mirror_nerf_tpu.render.renderer import (
+    RenderSettings,
+    _composite_weights,
+    _density_with_grad,
+    render_rays,
+)
+from mirror_nerf_tpu.render.tracer import TraceSettings, trace_rays
+
+
+@pytest.fixture(scope="module")
+def field():
+    return MirrorNeRFField(N_emb_xyz=4, N_emb_dir=2, depth=3, width=32, skips=(1,))
+
+
+@pytest.fixture(scope="module")
+def params(field):
+    return {
+        "coarse": field.init(jax.random.PRNGKey(0)),
+        "fine": field.init(jax.random.PRNGKey(1)),
+    }
+
+
+def _make_rays(n, near=0.5, far=3.0, seed=2):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    o = jax.random.normal(k1, (n, 3)) * 0.1
+    d = jax.random.normal(k2, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.concatenate(
+        [o, d, jnp.full((n, 1), near), jnp.full((n, 1), far)], axis=1
+    )
+
+
+class TestField:
+    def test_shapes(self, field, params):
+        x = jax.random.normal(jax.random.PRNGKey(3), (10, 3))
+        d = jax.random.normal(jax.random.PRNGKey(4), (10, 3))
+        sigma, geo = field.density(params["coarse"], x)
+        assert sigma.shape == (10,)
+        assert geo.shape == (10, field.width)
+        rgb = field.color(params["coarse"], geo, d)
+        assert rgb.shape == (10, 3)
+        assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+        n = field.normal_head(params["coarse"], geo)
+        assert n.shape == (10, 3)
+        m = field.mirror_head(params["coarse"], geo)
+        assert m.shape == (10,)
+        assert (np.asarray(m) >= 0).all() and (np.asarray(m) <= 1).all()
+
+    def test_sigma_gradient_matches_finite_differences(self, field, params):
+        x = jax.random.normal(jax.random.PRNGKey(5), (4, 3)) * 0.3
+        _, _, grad = _density_with_grad(field, params["coarse"], x)
+        eps = 1e-4
+        for i in range(3):
+            dx = jnp.zeros((4, 3)).at[:, i].set(eps)
+            sp, _ = field.density(params["coarse"], x + dx)
+            sm, _ = field.density(params["coarse"], x - dx)
+            fd = (sp - sm) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(grad[:, i]), np.asarray(fd),
+                                       rtol=2e-2, atol=2e-3)
+
+    def test_init_matches_torch_default_bounds(self, field, params):
+        w = np.asarray(params["coarse"]["trunk"][0]["w"])
+        bound = 1.0 / np.sqrt(w.shape[0])
+        assert np.abs(w).max() <= bound + 1e-7
+        assert np.abs(w).mean() > bound * 0.3  # roughly uniform, not degenerate
+
+
+class TestCompositing:
+    def test_opaque_sample_takes_all_weight(self):
+        z = jnp.array([[1.0, 2.0, 3.0]])
+        sig = jnp.array([[0.0, 1e8, 0.0]])
+        w = np.asarray(_composite_weights(sig, z, jnp.zeros_like(sig)))
+        np.testing.assert_allclose(w, [[0.0, 1.0, 0.0]], atol=1e-6)
+
+    def test_empty_space_zero_weights(self):
+        z = jnp.array([[1.0, 2.0, 3.0]])
+        sig = jnp.full((1, 3), -10.0)  # relu clamps to 0
+        w = np.asarray(_composite_weights(sig, z, jnp.zeros_like(sig)))
+        np.testing.assert_allclose(w, 0.0, atol=1e-7)
+
+    def test_weights_sum_equals_one_minus_transmittance(self):
+        key = jax.random.PRNGKey(7)
+        z = jnp.sort(jax.random.uniform(key, (5, 16)) * 4 + 1, axis=-1)
+        sig = jax.random.uniform(key, (5, 16)) * 3
+        w = _composite_weights(sig, z, jnp.zeros_like(sig))
+        deltas = jnp.diff(z, axis=-1)
+        deltas = jnp.concatenate([deltas, jnp.full_like(deltas[:, :1], 1e10)], -1)
+        alphas = 1 - jnp.exp(-deltas * jax.nn.relu(sig))
+        expected = 1 - jnp.prod(1 - alphas + 1e-10, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(w.sum(-1)), np.asarray(expected), rtol=1e-4
+        )
+
+
+class TestRenderer:
+    def _rs(self, **kw):
+        base = dict(N_samples=8, N_importance=8, perturb=1.0, noise_std=0.0,
+                    compute_normal=True)
+        base.update(kw)
+        return RenderSettings(**base)
+
+    def test_output_keys_and_shapes(self, field, params, rng):
+        rays = _make_rays(6)
+        out = render_rays(field, params, rays, rng, self._rs())
+        for typ in ("coarse", "fine"):
+            assert out[f"rgb_{typ}"].shape == (6, 3)
+            assert out[f"depth_{typ}"].shape == (6,)
+            assert out[f"opacity_{typ}"].shape == (6,)
+            assert out[f"mirror_mask_{typ}"].shape == (6,)
+            assert out[f"x_surface_{typ}"].shape == (6, 3)
+            assert out[f"normal_dif_{typ}"].shape == (6,)
+        assert out["weights_coarse"].shape == (6, 8)
+        assert out["weights_fine"].shape == (6, 16)
+
+    def test_test_time_skips_coarse_rgb(self, field, params, rng):
+        rays = _make_rays(4)
+        out = render_rays(field, params, rays, rng, self._rs(test_time=True))
+        assert "rgb_coarse" not in out
+        assert "rgb_fine" in out
+        assert "weights_coarse" in out  # still needed for the PDF
+
+    def test_only_one_field_warmup_has_no_fine(self, field, params, rng):
+        rays = _make_rays(4)
+        out = render_rays(field, params, rays, rng, self._rs(fine_pass="none"))
+        assert "rgb_fine" not in out
+        assert out["rgb_coarse"].shape == (4, 3)
+        assert out["weights_coarse"].shape == (4, 8)
+
+    def test_only_one_field_fine_reruns_coarse(self, field, params, rng):
+        rays = _make_rays(4)
+        out = render_rays(field, params, rays, rng, self._rs(fine_pass="coarse"))
+        assert "rgb_fine" not in out
+        # coarse results come from the merged (8+8) sample set
+        assert out["weights_coarse"].shape == (4, 16)
+
+    def test_white_back(self, field, params, rng):
+        # A field this small renders almost-empty space; white_back must push
+        # rgb towards 1 by (1 - opacity).
+        rays = _make_rays(5)
+        rs_a = self._rs(white_back=False)
+        rs_b = self._rs(white_back=True)
+        a = render_rays(field, params, rays, rng, rs_a)
+        b = render_rays(field, params, rays, rng, rs_b)
+        add = 1.0 - a["opacity_fine"]
+        np.testing.assert_allclose(
+            np.asarray(b["rgb_fine"]), np.asarray(a["rgb_fine"] + add[:, None]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_depth_localizes_opaque_surface(self, field, rng):
+        # Replace density with a hand-built field: a dense wall at z=2 along
+        # the ray. Use a tiny wrapper field overriding density.
+        class WallField(MirrorNeRFField):
+            def density(self, p, xyz):
+                sigma = jnp.where(xyz[:, 2] > 2.0, 1e4, 0.0)
+                geo = jnp.zeros((xyz.shape[0], self.width))
+                return sigma, geo
+
+        wf = WallField(N_emb_xyz=4, N_emb_dir=2, depth=3, width=32, skips=(1,),
+                       predict_normal=False, predict_mirror_mask=False)
+        p = {"coarse": wf.init(jax.random.PRNGKey(0))}
+        n = 3
+        o = jnp.tile(jnp.array([[0.0, 0.0, 0.0]]), (n, 1))
+        d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+        rays = jnp.concatenate(
+            [o, d, jnp.full((n, 1), 0.1), jnp.full((n, 1), 4.0)], axis=1
+        )
+        rs = RenderSettings(N_samples=128, N_importance=0, perturb=0.0,
+                            noise_std=0.0, compute_normal=False,
+                            fine_pass="none")
+        out = render_rays(wf, p, rays, rng, rs)
+        np.testing.assert_allclose(np.asarray(out["depth_coarse"]), 2.0, atol=0.05)
+        np.testing.assert_allclose(np.asarray(out["opacity_coarse"]), 1.0,
+                                   atol=1e-5)
+
+    def test_detach_density_for_normal_loss_blocks_trunk_grads(self, field, params):
+        rays = _make_rays(4)
+        # bias σ positive so the field is non-empty and weights are nonzero
+        params = jax.tree_util.tree_map(lambda x: x, params)
+        params["fine"] = dict(params["fine"])
+        params["fine"]["sigma"] = {
+            "w": params["fine"]["sigma"]["w"],
+            "b": params["fine"]["sigma"]["b"] + 5.0,
+        }
+        v = jnp.array([0.3, -1.2, 0.7])
+
+        def loss(p, detach):
+            rs = self._rs(detach_density_for_normal_loss=detach, perturb=0.0)
+            out = render_rays(field, p, rays, jax.random.PRNGKey(0), rs)
+            return jnp.sum(out["surface_normal_fine"] * v)
+
+        g_detached = jax.grad(lambda p: loss(p, True))(params)
+        # trunk received nothing through the detached head/weights paths
+        trunk_norm = sum(
+            float(jnp.abs(l["w"]).sum()) for l in g_detached["fine"]["trunk"]
+        )
+        assert trunk_norm == 0.0
+        g_free = jax.grad(lambda p: loss(p, False))(params)
+        trunk_norm_free = sum(
+            float(jnp.abs(l["w"]).sum()) for l in g_free["fine"]["trunk"]
+        )
+        assert trunk_norm_free > 0.0
+
+
+class TestTracer:
+    def _ts(self, rs=None, **kw):
+        rs = rs or RenderSettings(N_samples=8, N_importance=8, noise_std=0.0,
+                                  compute_normal=True)
+        base = dict(render=rs, trace_secondary_rays=True, max_recursive_level=1)
+        base.update(kw)
+        return TraceSettings(**base)
+
+    def test_blend_identity(self, field, params, rng):
+        rays = _make_rays(10)
+        gt = (jax.random.uniform(jax.random.PRNGKey(9), (10,)) > 0.5).astype(
+            jnp.float32
+        )
+        ts = self._ts(is_eval=True, only_trace_mode="eval")
+        out = trace_rays(field, params, rays, gt, rng, ts)
+        m = np.asarray(out["mirror_mask_resolved"])[:, None]
+        blended = m * np.asarray(out["rgb_fine_reflect"]) + (1 - m) * np.asarray(
+            out["rgb_fine_direct"]
+        )
+        np.testing.assert_allclose(np.asarray(out["rgb_fine"]), blended,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_gt_mask_used_at_level0_when_valid(self, field, params, rng):
+        rays = _make_rays(8)
+        gt = jnp.array([1, 0, 1, 0, 1, 0, 1, 0], jnp.float32)
+        ts = self._ts()
+        out = trace_rays(field, params, rays, gt, rng, ts)
+        np.testing.assert_array_equal(np.asarray(out["mirror_mask_resolved"]),
+                                      np.asarray(gt))
+
+    def test_invalid_gt_mask_falls_back_to_prediction(self, field, params, rng):
+        rays = _make_rays(8)
+        gt = jnp.full((8,), -1.0)
+        ts = self._ts()
+        out = trace_rays(field, params, rays, gt, rng, ts)
+        m = np.asarray(out["mirror_mask_resolved"])
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+
+    def test_no_trace_when_disabled(self, field, params, rng):
+        rays = _make_rays(4)
+        gt = jnp.ones((4,))
+        ts = self._ts(trace_secondary_rays=False, is_eval=True)
+        out = trace_rays(field, params, rays, gt, rng, ts)
+        np.testing.assert_allclose(np.asarray(out["rgb_fine_reflect"]), 0.0)
+
+    def test_deeper_recursion_unrolls(self, field, params, rng):
+        rays = _make_rays(4)
+        gt = jnp.ones((4,))
+        ts = self._ts(max_recursive_level=2, is_eval=True,
+                      only_trace_mode="eval")
+        out = trace_rays(field, params, rays, gt, rng, ts)
+        assert out["rgb_fine"].shape == (4, 3)
+
+    def test_detach_ref_color_blocks_reflection_grad(self, field, params, rng):
+        rays = _make_rays(4)
+        gt = jnp.ones((4,))  # every ray is a mirror: rgb == reflection branch
+        # bias σ positive so weights (hence rgb grads) are nonzero
+        params = {
+            side: {**p, "sigma": {"w": p["sigma"]["w"], "b": p["sigma"]["b"] + 5.0}}
+            for side, p in params.items()
+        }
+
+        def loss(p, detach):
+            ts = self._ts(detach_ref_color_for_blend=detach)
+            out = trace_rays(field, p, rays, gt, rng, ts)
+            return jnp.sum(out["rgb_fine"] ** 2)
+
+        g_det = jax.grad(lambda p: loss(p, True))(params)
+        g_free = jax.grad(lambda p: loss(p, False))(params)
+        rgb_det = float(jnp.abs(g_det["fine"]["rgb"]["w"]).sum())
+        rgb_free = float(jnp.abs(g_free["fine"]["rgb"]["w"]).sum())
+        # detached: rgb-head grads only flow via... nothing (all rays mirror)
+        assert rgb_det == 0.0
+        assert rgb_free > 0.0
