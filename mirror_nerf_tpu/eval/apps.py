@@ -1,0 +1,416 @@
+"""Eval-side tracing + the four applications.
+
+Capability parity with reference `eval.py:114-740` (`batched_inference` and
+its recursive closure). The eval tracer differs from the training tracer on
+purpose, mirroring the reference's divergences (SURVEY §3.3):
+  * the mirror mask always comes from the thresholded prediction (no GT);
+  * `only_trace_rays_in_mirrors` is hardcoded to level >= 1 — here that's the
+    masked-blend equivalent (level 0 blends everywhere the mask is on);
+  * only the *select* type (fine) is blended;
+  * rendering is deterministic (perturb=0, noise=0) and `test_time` skips the
+    coarse rgb pass.
+
+Applications (all flag-compatible with the reference CLI):
+  * place_new_mirror (eval.py:364-504): inject a virtual planar mirror —
+    ray/plane intersection, rectangle clip, on-ray check, depth occlusion;
+    overrides normal / mirror mask / depth / secondary origins.
+  * control_mirror_roughness (eval.py:506-511, 623-674): Monte-Carlo glossy
+    reflection — trace `trace_ray_times`+1 bundles with Gaussian-perturbed
+    normals and average. The bundle loop runs on the host around ONE compiled
+    bundle function (the reference recompiles nothing either — it just loops).
+  * reflection_substitution (eval.py:550-613): secondary rays rendered in a
+    second checkpoint's radiance field, with scene-specific rigid transforms.
+  * reflect_newly_placed_objects (eval.py:173-291): a guest object field
+    (D-NeRF / vanilla NeRF) rendered along the same rays and depth-composited
+    in before mask resolution; composited pixels clear the mirror mask, so
+    the object appears in mirrors via the secondary rays.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mathutil import l2_normalize
+from ..render.renderer import RenderSettings, render_rays
+from ..render.tracer import RAY_FORWARD_OFFSET
+
+
+# ---- scene-preset tables (reference eval.py:369-433, 551-594, 178-189) ----
+
+
+@dataclass(frozen=True)
+class PlaneMirrorSpec:
+    axis: int  # 0 = plane x=v, 1 = plane y=v
+    value: float
+    normal: Tuple[float, float, float]
+    rec_bound: Tuple[float, float, float, float]
+
+
+def plane_preset(plane_pos: str, root_dir: str) -> PlaneMirrorSpec:
+    if plane_pos == "plane_x":
+        if "livingroom" in root_dir:
+            return PlaneMirrorSpec(0, 0.0, (-1, 0, 0), (-1, 1, -0.5, 0.5))
+        if "washroom" in root_dir:
+            return PlaneMirrorSpec(0, -1.0, (1, 0, 0), (-1, 1, -1, 0.75))
+        if "office" in root_dir:
+            return PlaneMirrorSpec(0, 1.0, (1, 0, 0), (-1, 1, -1, 0.75))
+        return PlaneMirrorSpec(0, -1.0, (1, 0, 0), (-1, 1, -0.5, 0.5))
+    else:  # plane_y
+        if "washroom" in root_dir:
+            return PlaneMirrorSpec(1, 1.3, (0, -1, 0), (-1, 1, -1, 1))
+        if "livingroom" in root_dir:
+            return PlaneMirrorSpec(1, 1.65, (0, -1, 0), (-0.3, 1.5, -0.5, 1))
+        if "office" in root_dir:
+            return PlaneMirrorSpec(1, 0.0, (0, -1, 0), (-1, 1, -0.5, 0.5))
+        return PlaneMirrorSpec(1, 1.0, (0, -1, 0), (-1, 1, -0.5, 0.5))
+
+
+def substitution_transform(root_dir: str):
+    """(rotation 3x3 or None, translation, scale) for the substituted field."""
+    if "office" in root_dir:
+        return None, (0.0, 1.0, 0.0), 1.0
+    if "market" in root_dir:
+        rot = np.array([[0, 1, 0], [-1, 0, 0], [0, 0, 1]], np.float32)
+        return rot, (0.0, 0.0, 0.0), 1.0
+    return None, (0.0, 0.0, 0.0), 1.0
+
+
+def object_transform(root_dir: str):
+    """(translation, scale) mapping scene rays into the object field."""
+    if "livingroom" in root_dir:
+        return (0.0, 0.0, 0.0), 2.0
+    if "washroom" in root_dir:
+        return (-0.5, -0.5, 0.0), 2.0
+    if "office" in root_dir:
+        return (0.0, 3.0, 0.5), 2.0
+    return (0.0, 0.0, 0.0), 1.0
+
+
+# ---- static eval-trace configuration ----
+
+
+@dataclass(frozen=True)
+class EvalAppFlags:
+    place_new_mirror: Optional[PlaneMirrorSpec] = None
+    roughness: bool = False
+    substitution: bool = False
+    reflect_objects: bool = False
+    near: float = 0.05  # for the valid-depth occlusion masks
+
+
+def _resolve_pred_mask(results, sel):
+    for key in (f"mirror_mask_{sel}", "mirror_mask_fine", "mirror_mask_coarse"):
+        if key in results:
+            return (results[key] > 0.5).astype(jnp.float32)
+    return None
+
+
+def _surface_normal_eval(results, sel):
+    if f"surface_normal_{sel}" in results:
+        return results[f"surface_normal_{sel}"]
+    if f"pred_normal_{sel}" in results:
+        return jnp.sum(results[f"pred_normal_{sel}"]
+                       * results[f"weights_{sel}"][..., None], axis=1)
+    if f"surface_normal_grad_{sel}" in results:
+        return results[f"surface_normal_grad_{sel}"]
+    return jnp.sum(results[f"normal_{sel}"]
+                   * results[f"weights_{sel}"][..., None], axis=1)
+
+
+def _inject_plane_mirror(app: EvalAppFlags, rays, results, sel, mirror_mask,
+                         normal, secondary_o):
+    """Virtual planar mirror (reference eval.py:364-504), fully masked."""
+    spec = app.place_new_mirror
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    ax = spec.axis
+    other = [(1, 2), (0, 2)][ax]  # in-plane coordinate axes for the rect clip
+    t = (spec.value - o[:, ax]) / jnp.where(jnp.abs(d[:, ax]) < 1e-9, 1e-9,
+                                            d[:, ax])
+    hit = o + t[:, None] * d  # (N, 3) intersection with the infinite plane
+    u, v = hit[:, other[0]], hit[:, other[1]]
+    b = spec.rec_bound
+    new_mask = (u >= b[0]) & (u <= b[1]) & (v >= b[2]) & (v <= b[3])
+    # on the ray (not its reverse extension)
+    new_mask = new_mask & (jnp.sum((hit - o) * d, axis=-1) > 0)
+    # foreground occlusion by the rendered scene depth
+    depth = results[f"depth_{sel}"]
+    depth_new = jnp.linalg.norm(o - hit, axis=-1)
+    blocked = (depth_new > depth) & (depth > app.near)
+    new_mask = new_mask & ~blocked
+
+    nm = new_mask[:, None]
+    normal = jnp.where(nm, jnp.asarray(spec.normal, normal.dtype), normal)
+    secondary_o = jnp.where(nm, hit, secondary_o)
+    mirror_mask = jnp.where(new_mask, 1.0, mirror_mask)
+    depth = jnp.where(new_mask, depth_new, depth)
+    results[f"depth_{sel}"] = depth
+    for key in (f"mirror_mask_{sel}", "mirror_mask_fine", "mirror_mask_coarse"):
+        if key in results:
+            results[key] = mirror_mask
+            break
+    return results, mirror_mask, normal, secondary_o
+
+
+def _composite_object(app: EvalAppFlags, obj_render_fn, rays, results, sel,
+                      frame_time):
+    """Depth-composite a guest object field (reference eval.py:173-291)."""
+    translation, scale = obj_render_fn.transform
+    rays_obj = rays.at[:, 0:3].multiply(scale).at[:, 0:3].add(
+        jnp.asarray(translation, rays.dtype))
+    obj = obj_render_fn(rays_obj, frame_time)  # {"rgb", "depth", "opacity"}
+    obj_depth = obj["depth"] / scale
+    depth = results[f"depth_{sel}"]
+    mask_obj = (obj_depth > 0) & (obj["opacity"] > 0.8)
+    blocked = (obj_depth > depth) & (depth > app.near)
+    use_obj = mask_obj & ~blocked
+    results[f"rgb_{sel}"] = jnp.where(use_obj[:, None], obj["rgb"],
+                                      results[f"rgb_{sel}"])
+    results[f"depth_{sel}"] = jnp.where(use_obj, obj_depth, depth)
+    for key in (f"mirror_mask_{sel}", "mirror_mask_fine",
+                "mirror_mask_coarse"):
+        if key in results:
+            results[key] = jnp.where(use_obj, 0.0, results[key])
+            break
+    return results
+
+
+def eval_trace(
+    field,
+    params: dict,
+    rays: jnp.ndarray,
+    rng: jax.Array,
+    rs: RenderSettings,
+    app: EvalAppFlags,
+    max_recursive_level: int,
+    trace_secondary_rays: bool,
+    level: int = 0,
+    subst_params: Optional[dict] = None,
+    subst_field=None,
+    obj_render_fn: Optional[Callable] = None,
+    frame_time: float = 0.0,
+    normal_noise: Optional[jnp.ndarray] = None,  # (N, 3) roughness noise
+) -> dict:
+    """One eval render level + (optionally) the traced reflection below it."""
+    k_render, k_next = jax.random.split(jax.random.fold_in(rng, level))
+    results = render_rays(field, params, rays, k_render, rs)
+    sel = "fine" if rs.fine_pass == "fine" else "coarse"
+
+    results[f"rgb_{sel}_reflect"] = jnp.zeros_like(results[f"rgb_{sel}"])
+    results[f"depth_{sel}_reflect"] = jnp.zeros_like(results[f"depth_{sel}"])
+
+    if app.reflect_objects and obj_render_fn is not None:
+        results = _composite_object(app, obj_render_fn, rays, results, sel,
+                                    frame_time)
+
+    mirror_mask = _resolve_pred_mask(results, sel)
+    if mirror_mask is None:
+        mirror_mask = jnp.zeros(rays.shape[0], jnp.float32)
+
+    do_trace = (trace_secondary_rays or app.place_new_mirror is not None) \
+        and level < max_recursive_level
+    if not do_trace:
+        results["mirror_mask_resolved"] = mirror_mask
+        return results
+
+    d = rays[:, 3:6]
+    far = rays[:, 7:8]
+    secondary_o = results[f"x_surface_{sel}"]
+    normal = _surface_normal_eval(results, sel)
+
+    if app.place_new_mirror is not None and level == 0:
+        results, mirror_mask, normal, secondary_o = _inject_plane_mirror(
+            app, rays, results, sel, mirror_mask, normal, secondary_o)
+
+    if normal_noise is not None and level == 0:
+        normal = normal + normal_noise
+
+    normal = l2_normalize(normal)
+    w = l2_normalize(-d)
+    cos = jnp.sum(w * normal, axis=-1, keepdims=True)
+    reflect_dir = 2.0 * cos * normal - w
+    results["reflect_direction"] = reflect_dir
+    results["secondary_rays_o"] = secondary_o
+
+    secondary = jnp.concatenate(
+        [secondary_o, reflect_dir, jnp.full_like(far, RAY_FORWARD_OFFSET), far],
+        axis=-1)
+
+    if app.substitution and subst_params is not None:
+        rot, translation, scale = None, (0, 0, 0), 1.0
+        if hasattr(subst_field, "transform"):
+            rot, translation, scale = subst_field.transform
+        so = secondary[:, 0:3]
+        sd = secondary[:, 3:6]
+        if rot is not None:
+            R = jnp.asarray(rot, so.dtype)
+            so = so @ R.T
+            sd = l2_normalize(sd @ R.T)
+        so = so * scale + jnp.asarray(translation, so.dtype)
+        secondary = jnp.concatenate([so, sd, secondary[:, 6:8]], axis=-1)
+        sf = subst_field.field if hasattr(subst_field, "field") else field
+        sec = render_rays(sf, subst_params, secondary, k_next, rs)
+        sec["mirror_mask_resolved"] = jnp.zeros_like(mirror_mask)
+    else:
+        sec = eval_trace(
+            field, params, secondary, k_next, rs, app, max_recursive_level,
+            trace_secondary_rays, level + 1, subst_params, subst_field,
+            obj_render_fn, frame_time, None)
+
+    m = mirror_mask[:, None]
+    base = results[f"rgb_{sel}"]
+    results[f"rgb_{sel}_direct"] = base
+    results[f"rgb_{sel}"] = m * sec[f"rgb_{sel}"] + (1.0 - m) * base
+    results[f"rgb_{sel}_reflect"] = (
+        sec[f"rgb_{sel}"] if level == 0 else m * sec[f"rgb_{sel}"])
+    results[f"depth_{sel}_reflect"] = (
+        sec[f"depth_{sel}"] if level == 0 else mirror_mask * sec[f"depth_{sel}"])
+    results["mirror_mask_resolved"] = mirror_mask
+    results["_sec_rgb"] = sec[f"rgb_{sel}"]  # for roughness averaging
+    return results
+
+
+# ---- host-side orchestration ----
+
+
+@dataclass
+class AppContext:
+    cfg: object
+    args: object
+    field: object
+    params: dict
+    rs: RenderSettings
+    app: EvalAppFlags
+    subst_field: object = None
+    subst_params: Optional[dict] = None
+    obj_render_fn: Optional[Callable] = None
+
+    @classmethod
+    def build(cls, cfg, args, field, params):
+        rs = RenderSettings(
+            N_samples=cfg.N_samples, N_importance=cfg.N_importance,
+            use_disp=cfg.use_disp, perturb=0.0, noise_std=0.0,
+            white_back=False, test_time=not args.render_coarse_rgb,
+            compute_normal=cfg.trace_secondary_rays and not cfg.predict_normal,
+            fine_pass=("fine" if cfg.N_importance > 0 and not cfg.only_one_field
+                       else ("coarse" if cfg.N_importance > 0 else "none")),
+        )
+        app = EvalAppFlags(
+            place_new_mirror=(plane_preset(args.plane_pos, cfg.root_dir)
+                              if args.app_place_new_mirror else None),
+            roughness=args.app_control_mirror_roughness,
+            substitution=args.app_reflection_substitution,
+            reflect_objects=args.app_reflect_newly_placed_objects,
+            near=cfg.near,
+        )
+        ctx = cls(cfg=cfg, args=args, field=field, params=params, rs=rs,
+                  app=app)
+        if app.substitution:
+            if not args.substitution_ckpt_path:
+                raise SystemExit("[Error] substitution_ckpt_path required "
+                                 "for app_reflection_substitution.")
+            from ..models.fields import make_field
+
+            sub_cfg = cfg.replace(bound=6.0)  # reference forces bound=6
+            sub_field = make_field(sub_cfg)
+            import jax as _jax
+
+            like = {"coarse": sub_field.init(_jax.random.PRNGKey(0))}
+            if cfg.N_importance > 0 and not cfg.only_one_field:
+                like["fine"] = sub_field.init(_jax.random.PRNGKey(1))
+            from eval import load_params_any
+
+            class _Sub:
+                pass
+
+            s = _Sub()
+            s.field = sub_field
+            s.transform = substitution_transform(cfg.root_dir)
+            ctx.subst_field = s
+            ctx.subst_params = load_params_any(args.substitution_ckpt_path,
+                                               like)
+        if app.reflect_objects:
+            if not args.obj_ckpt_path:
+                raise SystemExit("[Error] obj_ckpt_path required for "
+                                 "app_reflect_newly_placed_objects.")
+            from ..models.guests import make_object_render_fn
+
+            ctx.obj_render_fn = make_object_render_fn(
+                cfg, args.obj_model_type, args.obj_ckpt_path,
+                transform=object_transform(cfg.root_dir))
+        return ctx
+
+
+def _pad(arr, n):
+    pad = n - arr.shape[0]
+    if pad <= 0:
+        return arr
+    return np.concatenate([arr, arr[-1:].repeat(pad, axis=0)], axis=0)
+
+
+def run_view(ctx: AppContext, sample: dict, progress: float,
+             key: jax.Array) -> dict:
+    """Render one full view through fixed-size chunks; returns numpy dict."""
+    cfg, args = ctx.cfg, ctx.args
+    rays_all = np.asarray(sample["rays"], np.float32)
+    n = rays_all.shape[0]
+    chunk = min(cfg.chunk, n)
+
+    progress_cycle = progress * 2 if progress < 0.5 else 1 - (progress - 0.5) * 2
+    noise_std = (args.normal_noise_std * progress_cycle
+                 if args.normal_noise_std_changes else args.normal_noise_std)
+
+    traced = jax.jit(functools.partial(
+        eval_trace, ctx.field,
+        rs=ctx.rs, app=ctx.app,
+        max_recursive_level=cfg.max_recursive_level,
+        trace_secondary_rays=cfg.trace_secondary_rays,
+        subst_params=ctx.subst_params, subst_field=ctx.subst_field,
+        obj_render_fn=ctx.obj_render_fn, frame_time=progress),
+        static_argnames=())
+
+    def run_chunk(rays_np, k, normal_noise=None):
+        return traced(ctx.params, jnp.asarray(rays_np), k,
+                      normal_noise=normal_noise)
+
+    outs = {}
+    for start in range(0, n, chunk):
+        r = _pad(rays_all[start:start + chunk], chunk)
+        valid = min(chunk, n - start)
+        k = jax.random.fold_in(key, start)
+
+        if not ctx.app.roughness:
+            res = run_chunk(r, k)
+        else:
+            # Monte-Carlo glossy reflection: average trace_ray_times+1 bundles
+            T = args.trace_ray_times
+            acc = None
+            base = None
+            for t in range(T + 1):
+                kt = jax.random.fold_in(k, t)
+                noise = jax.random.normal(kt, (chunk, 3)) * noise_std
+                res_t = run_chunk(r, kt, normal_noise=noise)
+                sec_rgb = np.asarray(res_t["_sec_rgb"])
+                acc = sec_rgb if acc is None else acc + sec_rgb
+                if t == 0:
+                    base = {kk: np.asarray(vv) for kk, vv in res_t.items()}
+            sec_mean = acc / (T + 1)
+            sel = "fine" if ctx.rs.fine_pass == "fine" else "coarse"
+            m = base["mirror_mask_resolved"][:, None]
+            base[f"rgb_{sel}"] = (m * sec_mean
+                                  + (1 - m) * base[f"rgb_{sel}_direct"])
+            base[f"rgb_{sel}_reflect"] = sec_mean
+            res = base
+
+        for kk, vv in res.items():
+            if kk.startswith(("weights_", "z_vals_", "normal_", "pred_normal_",
+                              "_sec")) and kk != "normal_dif_fine":
+                continue
+            v = np.asarray(vv)
+            outs.setdefault(kk, []).append(v[:valid])
+    return {kk: np.concatenate(v, 0) for kk, v in outs.items()}

@@ -1,0 +1,355 @@
+"""Staged training loop (the reference's Lightning system, the JAX way).
+
+Capability parity with reference `train.py` (NeRFSystem + Trainer):
+  * geometry stage → reflection stage flip at `train_geometry_stage_end_epoch`,
+    with the dataset switching from mask-only frames to all frames
+    (reference train.py:386-403, datasets/blender.py:180-189)
+  * per-epoch loss schedule (losses.py:221-255) and the RGB-in-mirror
+    blackout during the geometry stage (train.py:410-416)
+  * step skipping for batches lacking GT masks in early epochs
+    (train.py:405-408) — here a loss×0 gate, same gradients
+  * Adam + MultiStepLR via optax, per-epoch val render with PSNR
+
+TPU-first structure: epoch-dependent *static* switches (stage, schedule,
+fine-pass mode) key a small cache of jitted step functions; everything
+data-dependent stays inside the jit. The ray batch is sharded over the
+`data` mesh axis; params/optimizer state are replicated, and XLA inserts the
+gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mathutil import psnr as psnr_fn
+from ..models.fields import make_field
+from ..parallel.mesh import batch_sharding, get_mesh, replicated
+from ..render.renderer import RenderSettings
+from ..render.tracer import TraceSettings, trace_rays
+from .checkpoints import load_train_ckpt, save_train_ckpt
+from .losses import make_loss_settings, total_loss
+from .optim import make_optimizer
+
+
+def resolve_fine_pass(cfg, epoch: int) -> str:
+    """only_one_field / N_importance semantics (reference rendering.py:309-360)."""
+    if cfg.N_importance <= 0:
+        return "none"
+    if cfg.only_one_field:
+        return "coarse" if epoch > cfg.only_one_field_fine_epoch else "none"
+    return "fine"
+
+
+def make_trace_settings(cfg, epoch: int, geometry_stage: bool,
+                        is_eval: bool, test_time: bool = False) -> TraceSettings:
+    rs = RenderSettings(
+        N_samples=cfg.N_samples,
+        N_importance=cfg.N_importance,
+        use_disp=cfg.use_disp,
+        perturb=0.0 if cfg.for_vis else cfg.perturb,
+        noise_std=0.0 if cfg.for_vis else cfg.noise_std,
+        white_back=False,
+        test_time=test_time,
+        compute_normal=cfg.trace_secondary_rays,
+        fine_pass=resolve_fine_pass(cfg, epoch),
+        detach_density_outside_mirror_for_mask_loss=(
+            cfg.detach_density_outside_mirror_for_mask_loss),
+        detach_density_for_mask_loss=cfg.detach_density_for_mask_loss,
+        detach_density_for_normal_loss=cfg.detach_density_for_normal_loss,
+    )
+    return TraceSettings(
+        render=rs,
+        trace_secondary_rays=cfg.trace_secondary_rays and not geometry_stage,
+        max_recursive_level=cfg.max_recursive_level,
+        only_trace_mode="eval" if test_time else "train",
+        only_trace_rays_in_mirrors=cfg.only_trace_rays_in_mirrors,
+        detach_normal_in_reflection=cfg.detach_normal_in_reflection,
+        detach_ref_color_for_blend=(
+            cfg.detach_ref_color_for_blend
+            and epoch >= cfg.train_geometry_stage_end_epoch + 1),
+        is_eval=is_eval,
+    )
+
+
+@dataclass
+class EpochStatics:
+    """The static switches that key one compiled train step."""
+
+    geometry_stage: bool
+    fine_pass: str
+    enable_mask_loss: bool
+    enable_plane_loss: bool
+    enable_normal_losses: bool
+    detach_ref_blend: bool
+    gate_invalid_mask_steps: bool
+
+    @classmethod
+    def of(cls, cfg, epoch: int, geometry_stage: bool):
+        return cls(
+            geometry_stage=geometry_stage,
+            fine_pass=resolve_fine_pass(cfg, epoch),
+            enable_mask_loss=(not geometry_stage)
+            or epoch >= cfg.train_mirror_mask_start_epoch,
+            enable_plane_loss=epoch >= cfg.smooth_mirror_start_epoch,
+            enable_normal_losses=(not geometry_stage)
+            or epoch >= cfg.train_normal_start_epoch,
+            detach_ref_blend=epoch >= cfg.train_geometry_stage_end_epoch + 1,
+            gate_invalid_mask_steps=epoch <= cfg.train_mirror_mask_start_epoch,
+        )
+
+    def key(self):
+        return (self.geometry_stage, self.fine_pass, self.enable_mask_loss,
+                self.enable_plane_loss, self.enable_normal_losses,
+                self.detach_ref_blend, self.gate_invalid_mask_steps)
+
+
+class Trainer:
+    """Host-side orchestration: data shuffling, stage flips, step dispatch."""
+
+    def __init__(self, cfg, dataset, workdir: str, mesh=None,
+                 val_dataset=None):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.n_dev = len(self.mesh.devices.reshape(-1))
+        if cfg.batch_size % self.n_dev:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"{self.n_dev} devices")
+
+        self.field = make_field(cfg)
+        key = jax.random.PRNGKey(cfg.seed)
+        kc, kf, self.base_key = jax.random.split(key, 3)
+        params = {"coarse": self.field.init(kc)}
+        if cfg.N_importance > 0 and not cfg.only_one_field:
+            params["fine"] = self.field.init(kf)
+
+        n_rays = len(dataset.all_rays) if hasattr(dataset, "all_rays") else len(
+            dataset)
+        self.steps_per_epoch = max(n_rays // cfg.batch_size, 1)
+        self.tx = make_optimizer(cfg, self.steps_per_epoch)
+        opt_state = self.tx.init(params)
+
+        rep = replicated(self.mesh)
+        self.params = jax.device_put(params, rep)
+        self.opt_state = jax.device_put(opt_state, rep)
+        self.global_step = 0
+        self.start_epoch = 0
+        self.train_geometry_stage = cfg.train_geometry_stage
+
+        if cfg.ckpt_path:
+            self.params, self.opt_state, self.global_step, self.start_epoch = (
+                load_train_ckpt(cfg.ckpt_path, params, opt_state))
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+        elif cfg.weight_path:
+            from .checkpoints import load_pytree
+
+            self.params = jax.device_put(
+                load_pytree(cfg.weight_path, params), rep)
+
+        self._step_cache = {}
+        self._metrics_path = os.path.join(workdir, "metrics.jsonl")
+
+    # ---- compiled step construction ----
+
+    def _build_step(self, statics: EpochStatics):
+        cfg = self.cfg
+        field = self.field
+        tx = self.tx
+        # epoch passed only through statics-resolved settings; use a
+        # representative epoch for the settings constructors
+        epoch = 10**6 if not statics.geometry_stage else 0
+
+        ts = make_trace_settings(cfg, epoch, statics.geometry_stage,
+                                 is_eval=False)
+        ts = TraceSettings(
+            render=RenderSettings(
+                **{**ts.render.__dict__, "fine_pass": statics.fine_pass}),
+            trace_secondary_rays=ts.trace_secondary_rays,
+            max_recursive_level=ts.max_recursive_level,
+            only_trace_mode=ts.only_trace_mode,
+            only_trace_rays_in_mirrors=ts.only_trace_rays_in_mirrors,
+            detach_normal_in_reflection=ts.detach_normal_in_reflection,
+            detach_ref_color_for_blend=(
+                cfg.detach_ref_color_for_blend and statics.detach_ref_blend),
+            is_eval=False,
+        )
+        ls = make_loss_settings(cfg, statics.geometry_stage, epoch)
+        from dataclasses import replace as dc_replace
+
+        ls = dc_replace(
+            ls,
+            enable_mask_loss=statics.enable_mask_loss,
+            enable_plane_loss=statics.enable_plane_loss,
+            enable_normal_losses=statics.enable_normal_losses,
+        )
+
+        def step_fn(params, opt_state, batch, rng):
+            rays = batch["rays"]
+            rgbs = batch["rgbs"]
+            mask = batch["mirror_mask"]
+            k_trace, k_loss = jax.random.split(rng)
+
+            mask_all_valid = jnp.all(mask >= 0)
+            if statics.geometry_stage and not cfg.woMaskRGBtoBlack:
+                # black out GT color inside the mirror (train.py:410-416)
+                blackout = mask_all_valid
+                rgbs = jnp.where(
+                    blackout & (mask > 0.5)[:, None], 0.0, rgbs)
+            batch_in = {**batch, "rgbs": rgbs}
+
+            def loss_fn(p):
+                results = trace_rays(field, p, rays, mask, k_trace, ts)
+                loss, loss_dict = total_loss(ls, results, batch_in, k_loss)
+                if statics.gate_invalid_mask_steps:
+                    # skip steps whose batch lacks GT masks in early epochs
+                    # (train.py:405-408): gate the loss to zero
+                    loss = jnp.where(mask_all_valid, loss, 0.0)
+                typ = "fine" if f"rgb_fine" in results else "coarse"
+                aux = {
+                    "psnr": psnr_fn(results[f"rgb_{typ}"], rgbs),
+                    "psnr_coarse": psnr_fn(results["rgb_coarse"], rgbs),
+                    **{k: v for k, v in loss_dict.items()},
+                }
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates)
+            aux["loss"] = loss
+            return new_params, new_opt, aux
+
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, rep, {"rays": bsh, "rgbs": bsh,
+                                     "mirror_mask": bsh}, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def get_step_fn(self, statics: EpochStatics):
+        k = statics.key()
+        if k not in self._step_cache:
+            self._step_cache[k] = self._build_step(statics)
+        return self._step_cache[k]
+
+    # ---- epochs ----
+
+    def stage_for_epoch(self, epoch: int) -> bool:
+        return (self.cfg.train_geometry_stage
+                and epoch < self.cfg.train_geometry_stage_end_epoch)
+
+    def run_epoch(self, epoch: int, np_rng: np.random.Generator,
+                  log_every: int = 50) -> dict:
+        cfg = self.cfg
+        geometry_stage = self.stage_for_epoch(epoch)
+        self.train_geometry_stage = geometry_stage
+        if hasattr(self.dataset, "train_geometry_stage"):
+            self.dataset.train_geometry_stage = geometry_stage
+        rays, rgbs, masks = self.dataset.train_buffers()
+
+        statics = EpochStatics.of(cfg, epoch, geometry_stage)
+        step_fn = self.get_step_fn(statics)
+        bsh = batch_sharding(self.mesh)
+
+        n = len(rays)
+        perm = np_rng.permutation(n)
+        n_steps = n // cfg.batch_size
+        last_aux = {}
+        t0 = time.time()
+        for s in range(n_steps):
+            idx = perm[s * cfg.batch_size:(s + 1) * cfg.batch_size]
+            batch = {
+                "rays": jax.device_put(rays[idx], bsh),
+                "rgbs": jax.device_put(rgbs[idx], bsh),
+                "mirror_mask": jax.device_put(masks[idx], bsh),
+            }
+            rng = jax.random.fold_in(self.base_key, self.global_step)
+            self.params, self.opt_state, aux = step_fn(
+                self.params, self.opt_state, batch, rng)
+            self.global_step += 1
+            if s % log_every == 0 or s == n_steps - 1:
+                last_aux = {k: float(v) for k, v in aux.items()}
+                self._log({"epoch": epoch, "step": self.global_step,
+                           "stage": "geometry" if geometry_stage else "full",
+                           **last_aux})
+        dt = time.time() - t0
+        last_aux["rays_per_sec"] = n_steps * cfg.batch_size / max(dt, 1e-9)
+        return last_aux
+
+    def fit(self, on_epoch_end=None):
+        np_rng = np.random.default_rng(self.cfg.seed)
+        final = {}
+        for epoch in range(self.start_epoch, self.cfg.num_epochs):
+            final = self.run_epoch(epoch, np_rng)
+            ckpt = os.path.join(self.workdir, "last.ckpt.npz")
+            save_train_ckpt(ckpt, jax.device_get(self.params),
+                            jax.device_get(self.opt_state),
+                            self.global_step, epoch + 1)
+            save_train_ckpt(
+                os.path.join(self.workdir, f"epoch={epoch}.ckpt.npz"),
+                jax.device_get(self.params), jax.device_get(self.opt_state),
+                self.global_step, epoch + 1)
+            if on_epoch_end is not None:
+                on_epoch_end(self, epoch, final)
+        return final
+
+    def _log(self, record: dict):
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+
+# ---- full-image rendering (val/eval) --------------------------------------
+
+
+def render_image_chunked(field, params, rays: np.ndarray,
+                         mirror_mask: Optional[np.ndarray],
+                         rng, ts: TraceSettings, chunk: int,
+                         keys=("rgb_fine", "rgb_coarse", "depth_fine",
+                               "depth_coarse", "mirror_mask_resolved")) -> dict:
+    """Render an arbitrary number of rays through fixed-size jitted chunks.
+
+    Pads the tail chunk so only ONE program is compiled per settings
+    (replaces the reference's torch chunk loops, train.py:102-127).
+    """
+    n = rays.shape[0]
+    if mirror_mask is None:
+        mirror_mask = np.full((n,), -1.0, np.float32)
+
+    traced = jax.jit(
+        functools.partial(trace_rays, field),
+        static_argnames=("ts",),
+    )
+
+    outs = {}
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        pad = chunk - (end - start)
+        r = np.concatenate([rays[start:end], rays[end - pad:end][::-1]]) if pad \
+            else rays[start:end]
+        m = np.concatenate(
+            [mirror_mask[start:end], mirror_mask[end - pad:end][::-1]]) if pad \
+            else mirror_mask[start:end]
+        res = traced(params, jnp.asarray(r), jnp.asarray(m),
+                     jax.random.fold_in(rng, start), ts=ts)
+        for k in keys:
+            if k in res:
+                v = np.asarray(res[k])
+                outs.setdefault(k, []).append(v[:end - start])
+    return {k: np.concatenate(v, 0) for k, v in outs.items()}

@@ -1,0 +1,84 @@
+"""Optimizers and LR schedules (optax).
+
+Capability parity with reference `utils/__init__.py:47-101` (sgd/adam/radam/
+ranger; steplr/cosine/poly) and `utils/warmup_scheduler.py` (gradual warmup).
+Schedules are *epoch-granular* like the torch versions — the step→epoch
+mapping is baked in via `steps_per_epoch`, so the jitted update never sees
+Python state.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def make_lr_schedule(cfg, steps_per_epoch: int):
+    """LR as a function of the global step."""
+    base_lr = cfg.lr
+
+    def epoch_of(step):
+        return step // max(steps_per_epoch, 1)
+
+    if cfg.lr_scheduler == "steplr":
+        milestones = tuple(sorted(cfg.decay_step))
+
+        def steplr(step):
+            e = epoch_of(step)
+            mult = 1.0
+            for m in milestones:
+                mult = mult * (cfg.decay_gamma ** (e >= m))
+            return base_lr * mult
+
+        sched = steplr
+    elif cfg.lr_scheduler == "cosine":
+        import jax.numpy as jnp
+
+        def cosine(step):
+            e = epoch_of(step)
+            t = jnp.minimum(e / max(cfg.num_epochs, 1), 1.0)
+            return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t)) + 1e-8  # eta_min
+
+        sched = cosine
+    elif cfg.lr_scheduler == "poly":
+        def poly(step):
+            e = epoch_of(step)
+            return base_lr * (1.0 - e / max(cfg.num_epochs, 1)) ** cfg.poly_exp
+
+        sched = poly
+    else:
+        raise ValueError(f"unknown lr_scheduler {cfg.lr_scheduler!r}")
+
+    if cfg.warmup_epochs > 0 and cfg.optimizer in ("sgd", "adam"):
+        warm_steps = cfg.warmup_epochs * steps_per_epoch
+
+        def warmed(step):
+            import jax.numpy as jnp
+
+            frac = jnp.minimum(step / max(warm_steps, 1), 1.0)
+            mult = 1.0 + (cfg.warmup_multiplier - 1.0) * frac
+            # GradualWarmupScheduler: ramp base_lr -> base_lr*multiplier,
+            # then hand over to the wrapped schedule.
+            return jnp.where(step < warm_steps, cfg.lr * mult / cfg.warmup_multiplier,
+                             sched(step))
+
+        return warmed
+    return sched
+
+
+def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
+    sched = make_lr_schedule(cfg, steps_per_epoch)
+    if cfg.optimizer == "sgd":
+        tx = optax.sgd(sched, momentum=cfg.momentum)
+        if cfg.weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+        return tx
+    if cfg.optimizer == "adam":
+        return optax.adamw(sched, eps=1e-8, weight_decay=cfg.weight_decay) \
+            if cfg.weight_decay else optax.adam(sched, eps=1e-8)
+    if cfg.optimizer == "radam":
+        return optax.radam(sched)
+    if cfg.optimizer == "ranger":
+        # ranger = RAdam + Lookahead
+        return optax.lookahead(optax.radam(sched), sync_period=6,
+                               slow_step_size=0.5)
+    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")

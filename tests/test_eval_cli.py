@@ -1,0 +1,124 @@
+"""Eval driver + applications, end-to-end on the procedural scene."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mirror_nerf_tpu.config import Config
+from mirror_nerf_tpu.data.synthetic import generate_scene
+from mirror_nerf_tpu.models.fields import MirrorNeRFField
+from mirror_nerf_tpu.train.checkpoints import save_pytree
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene_eval"))
+    generate_scene(root, n_train=2, n_val=1, n_test=2, img_wh=(16, 16))
+    return root
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    field = MirrorNeRFField(predict_normal=True, predict_mirror_mask=True)
+    params = {"coarse": field.init(jax.random.PRNGKey(0)),
+              "fine": field.init(jax.random.PRNGKey(1))}
+    path = str(tmp_path_factory.mktemp("ck") / "weights.npz")
+    save_pytree(path, params)
+    return path
+
+
+def _run_eval(scene, ckpt, tmp_path, extra=()):
+    import eval as eval_cli
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        argv = [
+            "--root_dir", scene, "--dataset_name", "blender",
+            "--img_wh", "16", "16", "--N_samples", "8", "--N_importance", "8",
+            "--near", "0.05", "--far", "12.0", "--chunk", "128",
+            "--max_recursive_level", "2", "--ckpt_path", ckpt,
+            "--predict_normal", "--predict_mirror_mask",
+            "--trace_secondary_rays", "--exp_name", "t", "--split", "test",
+            *extra,
+        ]
+        return eval_cli.main(argv), str(tmp_path)
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_eval_nvs_output_tree(scene, ckpt, tmp_path):
+    dir_name, base = _run_eval(scene, ckpt, tmp_path)
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+    assert os.path.exists(os.path.join(out, "rgb_fine_001.png"))
+    assert os.path.exists(os.path.join(out, "depth", "depth_fine_000.png"))
+    assert os.path.exists(os.path.join(out, "mirror_mask",
+                                       "mirror_mask_fine_000.png"))
+    assert os.path.exists(os.path.join(out, "normal",
+                                       "surface_normal_fine_000.png"))
+    assert os.path.exists(os.path.join(out, "x_surface",
+                                       "x_surface_fine_000.png"))
+    assert os.path.exists(os.path.join(out, "t_rgb_fine.gif"))
+    assert os.path.exists(os.path.join(
+        out, "depth_unified_normalization", "depth_fine_001.png"))
+    assert os.path.exists(os.path.join(out, "psnr.json"))
+
+
+@pytest.mark.slow
+def test_eval_app_place_new_mirror(scene, ckpt, tmp_path):
+    dir_name, base = _run_eval(
+        scene, ckpt, tmp_path,
+        extra=("--app_place_new_mirror", "--plane_pos", "plane_x",
+               "--only_eval_idx", "0"))
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+
+
+@pytest.mark.slow
+def test_eval_app_roughness(scene, ckpt, tmp_path):
+    dir_name, base = _run_eval(
+        scene, ckpt, tmp_path,
+        extra=("--app_control_mirror_roughness", "--trace_ray_times", "1",
+               "--normal_noise_std", "0.01", "--only_eval_idx", "0"))
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+
+
+@pytest.mark.slow
+def test_eval_app_substitution(scene, ckpt, tmp_path):
+    dir_name, base = _run_eval(
+        scene, ckpt, tmp_path,
+        extra=("--app_reflection_substitution", "--substitution_ckpt_path",
+               ckpt, "--only_eval_idx", "0"))
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+
+
+def test_dnerf_field_renders():
+    import jax.numpy as jnp
+
+    from mirror_nerf_tpu.models.guests import DNeRFField, dnerf_render
+
+    field = DNeRFField(depth=3, width=32, multires=4, multires_views=2,
+                       skips=(1,))
+    params = field.init(jax.random.PRNGKey(0))
+    n = 8
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile([[0, 0, 1]], (n, 1)).astype(np.float32)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 2.0, np.float32),
+         np.full((n, 1), 6.0, np.float32)], 1))
+    for t in (0.0, 0.5):
+        out = dnerf_render(field, params, rays, jnp.asarray(t),
+                           jax.random.PRNGKey(1), N_samples=8, N_importance=4,
+                           white_bkgd=True)
+        assert out["rgb"].shape == (n, 3)
+        assert np.isfinite(np.asarray(out["rgb"])).all()
+        assert np.isfinite(np.asarray(out["depth"])).all()

@@ -1,0 +1,127 @@
+"""End-to-end: generate a procedural mirror scene, train both stages, verify
+learning happens, checkpoints round-trip, and the val render runs."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mirror_nerf_tpu.config import Config
+from mirror_nerf_tpu.data.blender import BlenderDataset
+from mirror_nerf_tpu.data.synthetic import generate_scene
+from mirror_nerf_tpu.parallel.mesh import get_mesh
+from mirror_nerf_tpu.train.checkpoints import load_train_ckpt, save_train_ckpt
+from mirror_nerf_tpu.train.loop import (Trainer, make_trace_settings,
+                                        render_image_chunked)
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    generate_scene(root, n_train=4, n_val=1, n_test=1, img_wh=(24, 24))
+    return root
+
+
+@pytest.fixture(scope="module")
+def cfg(scene):
+    return Config(
+        root_dir=scene, img_wh=(24, 24), near=0.05, far=12.0, bound=6.0,
+        N_samples=8, N_importance=8, batch_size=128, num_epochs=2,
+        predict_normal=True, predict_mirror_mask=True,
+        trace_secondary_rays=True, train_geometry_stage=True,
+        train_geometry_stage_end_epoch=1, use_plane_consistent_loss=True,
+        only_trace_rays_in_mirrors=True, smooth_mirror_start_epoch=0,
+        train_mirror_mask_start_epoch=0, train_normal_start_epoch=0,
+        lr=5e-4, decay_step=(2, 4, 8), decay_gamma=0.5, chunk=576,
+    )
+
+
+def test_dataset_loads(scene, cfg):
+    ds = BlenderDataset(scene, "train", cfg.img_wh, cfg)
+    assert ds.all_rays.shape == (4 * 24 * 24, 8)
+    assert ds.all_rgbs.shape == (4 * 24 * 24, 3)
+    # all frames have masks -> wmask buffers equal full buffers
+    assert ds.rays_wmask.shape == ds.all_rays.shape
+    m = ds.all_mirror_masks
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    assert 0.01 < m.mean() < 0.9  # the mirror is visible but not everything
+    # ray directions unit-length
+    np.testing.assert_allclose(
+        np.linalg.norm(ds.all_rays[:, 3:6], axis=-1), 1.0, rtol=1e-5)
+
+
+def test_dataset_invalid_mask_sentinel(scene, tmp_path, cfg):
+    root2 = str(tmp_path / "scene2")
+    generate_scene(root2, n_train=3, n_val=1, n_test=1, img_wh=(16, 16),
+                   drop_mask_for_first_n=1)
+    ds = BlenderDataset(root2, "train", (16, 16), cfg)
+    assert (ds.all_mirror_masks < 0).any()
+    # frame 0 lacks a mask -> excluded from the wmask (geometry) buffers
+    assert len(ds.rays_wmask) == 2 * 16 * 16
+    ds.train_geometry_stage = True
+    rays, _, masks = ds.train_buffers()
+    assert len(rays) == 2 * 16 * 16
+    assert (masks >= 0).all()
+
+
+@pytest.mark.slow
+def test_two_stage_training_learns(scene, cfg, tmp_path):
+    ds = BlenderDataset(scene, "train", cfg.img_wh, cfg)
+    trainer = Trainer(cfg, ds, str(tmp_path / "run"), mesh=get_mesh())
+    rng = np.random.default_rng(0)
+    out0 = trainer.run_epoch(0, rng)  # geometry stage
+    out1 = trainer.run_epoch(1, rng)  # full stage with tracing
+    assert np.isfinite(out1["loss"])
+    assert out1["psnr"] > out0["psnr"]
+    assert out1["psnr"] > 12.0
+
+    # checkpoint round-trip
+    p = str(tmp_path / "ck.npz")
+    save_train_ckpt(p, jax.device_get(trainer.params),
+                    jax.device_get(trainer.opt_state), trainer.global_step, 2)
+    params2, opt2, step2, epoch2 = load_train_ckpt(
+        p, jax.device_get(trainer.params), jax.device_get(trainer.opt_state))
+    assert step2 == trainer.global_step and epoch2 == 2
+    a = jax.tree_util.tree_leaves(jax.device_get(trainer.params))[0]
+    b = jax.tree_util.tree_leaves(params2)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # val render through the eval tracer
+    val = BlenderDataset(scene, "val", cfg.img_wh, cfg)
+    sample = val.get_image(0)
+    ts = make_trace_settings(cfg, 1, False, is_eval=True)
+    res = render_image_chunked(
+        trainer.field, trainer.params, sample["rays"], sample["mirror_mask"],
+        jax.random.PRNGKey(0), ts, chunk=cfg.chunk,
+        keys=("rgb_fine", "rgb_fine_reflect", "depth_fine"),
+    )
+    assert res["rgb_fine"].shape == (24 * 24, 3)
+    assert np.isfinite(res["rgb_fine"]).all()
+
+
+def test_multichip_step_runs_on_virtual_mesh(scene, cfg, tmp_path):
+    """The sharded train step must compile and run on all 8 virtual devices."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    ds = BlenderDataset(scene, "train", cfg.img_wh, cfg)
+    mesh = get_mesh(8)
+    trainer = Trainer(cfg, ds, str(tmp_path / "run8"), mesh=mesh)
+    from mirror_nerf_tpu.train.loop import EpochStatics
+
+    statics = EpochStatics.of(cfg, 1, False)
+    step = trainer.get_step_fn(statics)
+    from mirror_nerf_tpu.parallel.mesh import batch_sharding
+
+    bsh = batch_sharding(mesh)
+    rays, rgbs, masks = ds.train_buffers()
+    batch = {
+        "rays": jax.device_put(rays[:cfg.batch_size], bsh),
+        "rgbs": jax.device_put(rgbs[:cfg.batch_size], bsh),
+        "mirror_mask": jax.device_put(masks[:cfg.batch_size], bsh),
+    }
+    params, opt, aux = step(trainer.params, trainer.opt_state, batch,
+                            jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    # params replicated on every device
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert len(leaf.sharding.device_set) == 8
