@@ -52,23 +52,30 @@ def main():
                        max_recursive_level=2, only_trace_mode="eval",
                        is_eval=False)
 
-    def render_chunk(params, rays, mask, key):
-        return trace_rays(field, params, rays, mask, key, ts)["rgb_fine"]
+    # NOTE on methodology: on this TPU attachment, dispatch is asynchronous
+    # and `block_until_ready` does not reliably synchronize; only a value
+    # fetch does. Each iteration therefore *depends on the previous one*
+    # (a scalar of iteration i feeds the rays of iteration i+1) and the
+    # final scalar is fetched — the wall clock then covers every render.
+    def render_chunk(params, rays, mask, key, feedback):
+        rays = rays.at[:, 6].add(feedback * 1e-12)  # serialize iterations
+        rgb = trace_rays(field, params, rays, mask, key, ts)["rgb_fine"]
+        return jnp.sum(rgb)
 
     jitted = jax.jit(render_chunk)
 
     best = 0.0
-    for chunk in (8192, 16384, 32768):
+    for chunk in (8192, 16384):
         rays = jnp.asarray(rays_all[:chunk])
         mask = jnp.full((chunk,), -1.0, jnp.float32)
         key = jax.random.PRNGKey(0)
-        # warmup/compile
-        jitted(params, rays, mask, key).block_until_ready()
-        n_iter = max(int(2_000_000 // chunk), 3)
+        fb = jitted(params, rays, mask, key, jnp.float32(0.0))
+        float(fb)  # compile + warm
+        n_iter = max(int(500_000 // chunk), 8)
         t0 = time.perf_counter()
         for i in range(n_iter):
-            out = jitted(params, rays, mask, jax.random.fold_in(key, i))
-        out.block_until_ready()
+            fb = jitted(params, rays, mask, jax.random.fold_in(key, i), fb)
+        float(fb)  # fetch: waits for the whole dependent chain
         dt = time.perf_counter() - t0
         rps = n_iter * chunk / dt
         best = max(best, rps)

@@ -1,0 +1,159 @@
+"""Real-capture dataset loaders against synthetic on-disk fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mirror_nerf_tpu.config import Config
+from mirror_nerf_tpu.core.pose import rotmat_to_quat
+from mirror_nerf_tpu.data.colmap_utils import (Camera, Image,
+                                               read_cameras_binary,
+                                               read_images_binary,
+                                               qvec2rotmat,
+                                               write_cameras_binary,
+                                               write_images_binary)
+from mirror_nerf_tpu.data.real_arkit import RealDatasetARKit
+from mirror_nerf_tpu.data.real_colmap import RealDatasetColmap
+from mirror_nerf_tpu.data.synthetic import camera_ring
+
+
+def _write_imgs(root, names, img_wh, subdir=""):
+    import imageio.v2 as imageio
+
+    w, h = img_wh
+    os.makedirs(os.path.join(root, subdir) if subdir else root, exist_ok=True)
+    os.makedirs(os.path.join(root, "masks"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    for n in names:
+        img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        imageio.imwrite(os.path.join(root, subdir, n) if subdir
+                        else os.path.join(root, n), img)
+        mask = (rng.uniform(size=(h, w)) > 0.8).astype(np.uint8) * 255
+        imageio.imwrite(os.path.join(root, "masks", n), mask)
+
+
+@pytest.fixture(scope="module")
+def arkit_scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("arkit"))
+    img_wh = (16, 12)
+    poses = camera_ring(4)
+    names = [f"img_{i}.png" for i in range(4)]
+    _write_imgs(root, names, img_wh)
+    frames = []
+    for i, p in enumerate(poses):
+        m = np.eye(4)
+        m[:3] = p
+        frames.append({"file_path": names[i], "transform_matrix": m.tolist()})
+    meta = {"camera_angle_x": 0.9, "frames": frames}
+    for split in ("", "_train", "_test", "_val"):
+        with open(os.path.join(root, f"transforms{split}.json"), "w") as f:
+            json.dump(meta, f)
+    return root, img_wh
+
+
+@pytest.fixture(scope="module")
+def colmap_scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("colmap"))
+    img_wh = (16, 12)
+    os.makedirs(os.path.join(root, "sparse"), exist_ok=True)
+    names = [f"im_{i}.png" for i in range(4)]
+    _write_imgs(root, names, img_wh, subdir="images")
+    cameras = {1: Camera(1, "SIMPLE_RADIAL", 64, 48,
+                         np.array([50.0, 32.0, 24.0, 0.0]))}
+    write_cameras_binary(cameras, os.path.join(root, "sparse/cameras.bin"))
+    rng = np.random.default_rng(1)
+    images = {}
+    for i, n in enumerate(names):
+        # w2c: small random rotation + translation
+        angle = 0.1 * i
+        R = np.array([[np.cos(angle), -np.sin(angle), 0],
+                      [np.sin(angle), np.cos(angle), 0], [0, 0, 1.0]])
+        q = rotmat_to_quat(R)
+        t = rng.normal(size=3) * 0.1 + [0, 0, 2.0]
+        images[i + 1] = Image(i + 1, q, t, 1, n, np.zeros((0, 2)),
+                              np.zeros((0,), np.int64))
+    write_images_binary(images, os.path.join(root, "sparse/images.bin"))
+    return root, img_wh
+
+
+def test_colmap_binary_roundtrip(colmap_scene):
+    root, _ = colmap_scene
+    cams = read_cameras_binary(os.path.join(root, "sparse/cameras.bin"))
+    assert cams[1].width == 64 and cams[1].params[0] == 50.0
+    ims = read_images_binary(os.path.join(root, "sparse/images.bin"))
+    assert len(ims) == 4
+    assert ims[1].name == "im_0.png"
+    R = ims[2].qvec2rotmat()
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+
+
+def test_qvec_identity():
+    np.testing.assert_allclose(qvec2rotmat([1, 0, 0, 0]), np.eye(3),
+                               atol=1e-12)
+
+
+def _cfg(img_wh, **kw):
+    base = dict(img_wh=img_wh, near=0.5, far=8.0, scale_factor=2.0,
+                train_skip_step=1, val_idx=0, train_geometry_stage=False)
+    base.update(kw)
+    return Config(**base)
+
+
+class TestARKit:
+    def test_train_buffers(self, arkit_scene):
+        root, img_wh = arkit_scene
+        ds = RealDatasetARKit(root, "train", img_wh, _cfg(img_wh))
+        n = 4 * img_wh[0] * img_wh[1]
+        assert ds.all_rays.shape == (n, 8)
+        # near/far scaled by scale_factor
+        np.testing.assert_allclose(ds.all_rays[:, 6], 0.25)
+        np.testing.assert_allclose(ds.all_rays[:, 7], 4.0)
+        # unit directions
+        np.testing.assert_allclose(
+            np.linalg.norm(ds.all_rays[:, 3:6], axis=-1), 1.0, rtol=1e-5)
+        # poses centered: mean camera center near origin
+        centers = ds.poses_all[..., 3]
+        assert np.linalg.norm(centers.mean(0)) < 1.0
+
+    def test_val_and_test_rotate(self, arkit_scene):
+        root, img_wh = arkit_scene
+        val = RealDatasetARKit(root, "val", img_wh, _cfg(img_wh))
+        s = val.get_image(0)
+        assert s["rays"].shape == (img_wh[0] * img_wh[1], 8)
+        rot = RealDatasetARKit(root, "test_rotate", img_wh, _cfg(img_wh))
+        assert len(rot) == 32
+        s = rot.get_image(3)
+        assert "rgbs" not in s  # pose-only eval split
+        assert np.isfinite(s["rays"]).all()
+
+    def test_interpolation_split(self, arkit_scene):
+        root, img_wh = arkit_scene
+        ds = RealDatasetARKit(root, "test_interpolation", img_wh,
+                              _cfg(img_wh))
+        assert len(ds) > 4
+        s = ds.get_image(1)
+        assert np.isfinite(s["rays"]).all()
+
+
+class TestColmap:
+    def test_train_buffers(self, colmap_scene):
+        root, img_wh = colmap_scene
+        ds = RealDatasetColmap(root, "train", img_wh, _cfg(img_wh))
+        n = 3 * img_wh[0] * img_wh[1]  # val image excluded
+        assert ds.all_rays.shape == (n, 8)
+        assert (ds.all_mirror_masks >= 0).all()
+
+    def test_test_split_spheric_path(self, colmap_scene):
+        root, img_wh = colmap_scene
+        ds = RealDatasetColmap(root, "test", img_wh, _cfg(img_wh))
+        assert len(ds) == 120
+        s = ds.get_image(0)
+        assert s["rays"].shape == (img_wh[0] * img_wh[1], 8)
+
+    def test_llff_alias(self):
+        from mirror_nerf_tpu.data import get_dataset
+
+        assert get_dataset("llff") is RealDatasetColmap
+        assert get_dataset("real_colmap") is RealDatasetColmap
