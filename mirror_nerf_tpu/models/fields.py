@@ -37,6 +37,9 @@ class MirrorNeRFField:
     skips: Tuple[int, ...] = (4,)
     predict_normal: bool = True
     predict_mirror_mask: bool = True
+    # "bfloat16" runs the trunk/head matmuls in bf16 on the MXU (params stay
+    # fp32; σ / rgb / normals are returned fp32). Used by the eval/bench path.
+    compute_dtype: str = "float32"
 
     @property
     def in_xyz(self) -> int:
@@ -77,6 +80,17 @@ class MirrorNeRFField:
 
     # ---- forward pieces ----
 
+    def _cast(self, x):
+        if self.compute_dtype == "bfloat16":
+            return x.astype(jnp.bfloat16)
+        return x
+
+    def _lin(self, p, x):
+        y = x @ self._cast(p["w"])
+        if "b" in p:
+            y = y + self._cast(p["b"])
+        return y
+
     def density(self, params: dict, xyz: jnp.ndarray):
         """(N, 3) raw world coords -> (sigma (N,), geo_feat (N, W)).
 
@@ -84,31 +98,32 @@ class MirrorNeRFField:
         `rendering.py:189-192`. The positional embedding happens *inside* so
         jax.vjp w.r.t. `xyz` yields the analytic σ-gradient used for normals.
         """
-        h0 = posenc(xyz, self.N_emb_xyz)
+        h0 = self._cast(posenc(xyz, self.N_emb_xyz))
         h = h0
         for i, layer in enumerate(params["trunk"]):
             if i in self.skips:
                 h = jnp.concatenate([h0, h], axis=-1)
-            h = relu(linear(layer, h))
-        sigma = linear(params["sigma"], h)[..., 0]
-        return sigma, h
+            h = relu(self._lin(layer, h))
+        sigma = self._lin(params["sigma"], h)[..., 0]
+        return sigma.astype(jnp.float32), h
 
     def color(self, params: dict, geo_feat: jnp.ndarray, dirs: jnp.ndarray):
         """(N, W) trunk features + (N, 3) unit view dirs -> (N, 3) rgb."""
-        d = posenc(dirs, self.N_emb_dir)
-        h = linear(params["xyz_final"], geo_feat)
-        h = relu(linear(params["dir_enc"], jnp.concatenate([h, d], axis=-1)))
-        return sigmoid(linear(params["rgb"], h))
+        d = self._cast(posenc(dirs, self.N_emb_dir))
+        h = self._lin(params["xyz_final"], self._cast(geo_feat))
+        h = relu(self._lin(params["dir_enc"], jnp.concatenate([h, d], axis=-1)))
+        return sigmoid(self._lin(params["rgb"], h).astype(jnp.float32))
 
     def normal_head(self, params: dict, geo_feat: jnp.ndarray):
         """Predicted (unnormalized) normal, (N, 3). Two linears, no act."""
-        h = linear(params["normal"][0], geo_feat)
-        return linear(params["normal"][1], h)
+        h = self._lin(params["normal"][0], self._cast(geo_feat))
+        return self._lin(params["normal"][1], h).astype(jnp.float32)
 
     def mirror_head(self, params: dict, geo_feat: jnp.ndarray):
         """Per-point mirror probability, (N,)."""
-        h = leaky_relu(linear(params["is_mirror"][0], geo_feat))
-        return sigmoid(linear(params["is_mirror"][1], h))[..., 0]
+        h = leaky_relu(self._lin(params["is_mirror"][0], self._cast(geo_feat)))
+        return sigmoid(
+            self._lin(params["is_mirror"][1], h).astype(jnp.float32))[..., 0]
 
 
 def make_field(cfg) -> "MirrorNeRFField":
@@ -119,6 +134,7 @@ def make_field(cfg) -> "MirrorNeRFField":
             N_emb_dir=cfg.N_emb_dir,
             predict_normal=cfg.predict_normal,
             predict_mirror_mask=cfg.predict_mirror_mask,
+            compute_dtype=cfg.compute_dtype,
         )
     elif cfg.model_type == "nerf_tcnn":
         from .ngp import NGPField
@@ -127,5 +143,6 @@ def make_field(cfg) -> "MirrorNeRFField":
             bound=cfg.bound,
             predict_normal=cfg.predict_normal,
             predict_mirror_mask=cfg.predict_mirror_mask,
+            compute_dtype=cfg.compute_dtype,
         )
     raise ValueError(f"unknown model_type {cfg.model_type!r}")

@@ -58,6 +58,12 @@ class TraceSettings:
     # (reference train.py:284-289)
     detach_ref_color_for_blend: bool = False
     is_eval: bool = False
+    # Fixed-capacity compaction of secondary rays (the static-shape analog of
+    # the reference's boolean compaction, train.py:250-252): at levels where
+    # only_in_mirrors holds, gather the compact_frac·N rays with the highest
+    # mirror mask, trace only those, scatter results back. Exact whenever the
+    # mirror-pixel count fits the capacity; 1.0 disables (trace everything).
+    compact_frac: float = 1.0
 
     def only_in_mirrors(self, level: int) -> bool:
         if self.only_trace_mode == "eval":
@@ -163,10 +169,29 @@ def trace_rays(
         axis=-1,
     )
 
-    sec = trace_rays(
-        field, params, secondary_rays, mirror_mask_gt, k_next, ts,
-        level=level + 1, mirror_mask_prev=mirror_mask,
-    )
+    n = rays.shape[0]
+    compact = (ts.compact_frac < 1.0 and ts.only_in_mirrors(level)
+               and int(n * ts.compact_frac) < n)
+    if compact:
+        cap = min(max((int(n * ts.compact_frac) + 127) // 128 * 128, 128), n)
+        order = jnp.argsort(-jax.lax.stop_gradient(mirror_mask))
+        idx = order[:cap]
+        sec_sub = trace_rays(
+            field, params, secondary_rays[idx], mirror_mask_gt[idx], k_next,
+            ts, level=level + 1, mirror_mask_prev=mirror_mask[idx],
+        )
+
+        def _expand(v):
+            out = jnp.zeros((n,) + v.shape[1:], v.dtype)
+            return out.at[idx].set(v)
+
+        sec = {k: _expand(v) for k, v in sec_sub.items()
+               if k.startswith(("rgb_", "depth_"))}
+    else:
+        sec = trace_rays(
+            field, params, secondary_rays, mirror_mask_gt, k_next, ts,
+            level=level + 1, mirror_mask_prev=mirror_mask,
+        )
 
     m = mirror_mask[:, None]  # (N, 1), values in {0, 1}, grad-stopped
     for typ in ("coarse", "fine"):
