@@ -65,6 +65,7 @@ class Config:
     only_one_field_fine_epoch: int = 2
 
     # dataset geometry
+    log2_hashmap_size: int = 19  # hash-grid table size (nerf_tcnn path)
     bound: float = 1.0
     near: float = 0.05
     far: float = 8.0
@@ -162,6 +163,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--only_one_field_fine_epoch", type=int,
                    default=d.only_one_field_fine_epoch)
 
+    p.add_argument("--log2_hashmap_size", type=int, default=d.log2_hashmap_size)
     p.add_argument("--bound", type=float, default=d.bound)
     p.add_argument("--near", type=float, default=d.near)
     p.add_argument("--far", type=float, default=d.far)

@@ -69,14 +69,27 @@ def sample_pdf(
     else:
         u = jax.random.uniform(rng, (N_rays, N_importance), dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, M)
-
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    bin_lo = jnp.take_along_axis(bins, below, axis=-1)
-    bin_hi = jnp.take_along_axis(bins, above, axis=-1)
+    # TPU-native inverse CDF, entirely gather-free. "searchsorted right"
+    # selects the prefix {j : cdf_j <= u}; since both cdf and bins are
+    # monotone ascending, cdf[ind-1]/bins[ind-1] are masked *maxima* over the
+    # prefix and cdf[ind]/bins[ind] masked *minima* over its complement —
+    # pure VPU compare/reduce, no take_along_axis (which lowers to slow
+    # per-element gathers on TPU).
+    le = cdf[:, None, :] <= u[:, :, None]  # (N, K, M+1) prefix mask
+    cdf_b = cdf[:, None, :]
+    bins_b = bins[:, None, :]
+    neg = jnp.array(-jnp.inf, cdf.dtype)
+    pos = jnp.array(jnp.inf, cdf.dtype)
+    # the prefix is never empty: cdf_0 = 0 <= u for u in [0, 1]
+    cdf_lo = jnp.max(jnp.where(le, cdf_b, neg), axis=-1)
+    bin_lo = jnp.max(jnp.where(le, bins_b, neg), axis=-1)
+    cdf_hi = jnp.min(jnp.where(le, pos, cdf_b), axis=-1)
+    bin_hi = jnp.min(jnp.where(le, pos, bins_b), axis=-1)
+    # empty suffix (u >= cdf_M, e.g. u = 1.0): clamp to the last entry,
+    # matching the reference's index clamp above = min(ind, M)
+    suffix_empty = ~jnp.isfinite(cdf_hi)
+    cdf_hi = jnp.where(suffix_empty, cdf[:, -1:], cdf_hi)
+    bin_hi = jnp.where(suffix_empty, bins[:, -1:], bin_hi)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)  # empty bins are never sampled

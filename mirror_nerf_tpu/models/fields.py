@@ -144,5 +144,6 @@ def make_field(cfg) -> "MirrorNeRFField":
             predict_normal=cfg.predict_normal,
             predict_mirror_mask=cfg.predict_mirror_mask,
             compute_dtype=cfg.compute_dtype,
+            log2_hashmap_size=cfg.log2_hashmap_size,
         )
     raise ValueError(f"unknown model_type {cfg.model_type!r}")

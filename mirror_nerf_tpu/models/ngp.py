@@ -46,18 +46,20 @@ class NGPField:
     num_layers_color: int = 3
     hidden_dim_color: int = 64
     sh_degree: int = 4
+    log2_hashmap_size: int = 19
+    n_levels: int = 16
     predict_normal: bool = True
     predict_mirror_mask: bool = True
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
 
     @property
     def grid_spec(self) -> HashGridSpec:
-        n_levels = 16
+        n_levels = self.n_levels
         per_level_scale = float(
             np.exp2(np.log2(2048 * self.bound / n_levels) / (n_levels - 1)))
         return HashGridSpec(
             input_dim=3, num_levels=n_levels, level_dim=2,
-            base_resolution=16, log2_hashmap_size=19,
+            base_resolution=16, log2_hashmap_size=self.log2_hashmap_size,
             per_level_scale=per_level_scale,
         )
 

@@ -268,6 +268,8 @@ class Trainer:
         step_fn = self.get_step_fn(statics)
         bsh = batch_sharding(self.mesh)
 
+        from ..native import gather_batch
+
         n = len(rays)
         perm = np_rng.permutation(n)
         n_steps = n // cfg.batch_size
@@ -275,10 +277,11 @@ class Trainer:
         t0 = time.time()
         for s in range(n_steps):
             idx = perm[s * cfg.batch_size:(s + 1) * cfg.batch_size]
+            b_rays, b_rgbs, b_masks = gather_batch(rays, rgbs, masks, idx)
             batch = {
-                "rays": jax.device_put(rays[idx], bsh),
-                "rgbs": jax.device_put(rgbs[idx], bsh),
-                "mirror_mask": jax.device_put(masks[idx], bsh),
+                "rays": jax.device_put(b_rays, bsh),
+                "rgbs": jax.device_put(b_rgbs, bsh),
+                "mirror_mask": jax.device_put(b_masks, bsh),
             }
             rng = jax.random.fold_in(self.base_key, self.global_step)
             self.params, self.opt_state, aux = step_fn(
@@ -322,15 +325,21 @@ def render_image_chunked(field, params, rays: np.ndarray,
                          mirror_mask: Optional[np.ndarray],
                          rng, ts: TraceSettings, chunk: int,
                          keys=("rgb_fine", "rgb_coarse", "depth_fine",
-                               "depth_coarse", "mirror_mask_resolved")) -> dict:
+                               "depth_coarse", "mirror_mask_resolved"),
+                         mesh=None) -> dict:
     """Render an arbitrary number of rays through fixed-size jitted chunks.
 
     Pads the tail chunk so only ONE program is compiled per settings
-    (replaces the reference's torch chunk loops, train.py:102-127).
+    (replaces the reference's torch chunk loops, train.py:102-127). With a
+    `mesh`, each chunk's rays are sharded over the data axis — SPMD eval,
+    the TPU analog of the reference's DDP eval replicas.
     """
     n = rays.shape[0]
     if mirror_mask is None:
         mirror_mask = np.full((n,), -1.0, np.float32)
+
+    put = (lambda x: jax.device_put(x, batch_sharding(mesh))) if mesh is not None \
+        else jnp.asarray
 
     traced = jax.jit(
         functools.partial(trace_rays, field),
@@ -346,7 +355,7 @@ def render_image_chunked(field, params, rays: np.ndarray,
         m = np.concatenate(
             [mirror_mask[start:end], mirror_mask[end - pad:end][::-1]]) if pad \
             else mirror_mask[start:end]
-        res = traced(params, jnp.asarray(r), jnp.asarray(m),
+        res = traced(params, put(r), put(m),
                      jax.random.fold_in(rng, start), ts=ts)
         for k in keys:
             if k in res:

@@ -131,6 +131,31 @@ class TestSampling:
         # nearly all samples land in bin 7: [0.7, 0.8]
         assert ((s > 0.65) & (s < 0.85)).mean() > 0.95
 
+    def test_sample_pdf_matches_searchsorted_oracle(self, rng):
+        # det=True makes u a reproducible linspace, so a brute-force numpy
+        # searchsorted oracle can check the gather-free TPU formulation.
+        rng_np = np.random.default_rng(5)
+        N, M, K = 7, 12, 9
+        bins = np.sort(rng_np.uniform(1, 5, (N, M + 1)), axis=-1)
+        w = rng_np.uniform(0, 1, (N, M)).astype(np.float32)
+        ours = np.asarray(sample_pdf(rng, jnp.asarray(bins, jnp.float32),
+                                     jnp.asarray(w), K, det=True))
+        eps = 1e-5
+        wp = w + eps
+        pdf = wp / wp.sum(-1, keepdims=True)
+        cdf = np.concatenate([np.zeros((N, 1)), np.cumsum(pdf, -1)], -1)
+        u = np.broadcast_to(np.linspace(0, 1, K), (N, K))
+        ref = np.empty((N, K))
+        for n in range(N):
+            inds = np.searchsorted(cdf[n], u[n], side="right")
+            below = np.maximum(inds - 1, 0)
+            above = np.minimum(inds, M)
+            c_lo, c_hi = cdf[n][below], cdf[n][above]
+            b_lo, b_hi = bins[n][below], bins[n][above]
+            den = np.where(c_hi - c_lo < eps, 1.0, c_hi - c_lo)
+            ref[n] = b_lo + (u[n] - c_lo) / den * (b_hi - b_lo)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
     def test_merge_fine_sorted_and_shaped(self, rng):
         z = jnp.broadcast_to(jnp.linspace(1.0, 2.0, 8), (3, 8))
         w = jax.random.uniform(rng, (3, 8))
