@@ -15,6 +15,24 @@ import time
 import numpy as np
 
 
+def _snapshot_source(log_path: str) -> None:
+    """Copy the framework source next to the run for reproducibility
+    (parity with reference utils/__init__.py:147-171)."""
+    import shutil
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    dst = os.path.join(log_path, "source_snapshot")
+    try:
+        shutil.copytree(
+            os.path.join(repo, "mirror_nerf_tpu"),
+            os.path.join(dst, "mirror_nerf_tpu"),
+            ignore=shutil.ignore_patterns("__pycache__"))
+        for f in ("train.py", "eval.py", "extract_color_mesh.py"):
+            shutil.copy2(os.path.join(repo, f), dst)
+    except OSError:
+        pass  # snapshot is best-effort
+
+
 def main(cfg=None):
     if cfg is None:
         from mirror_nerf_tpu.config import get_opts
@@ -37,6 +55,7 @@ def main(cfg=None):
     print(f"Start with exp_name: {exp_name}.")
     with open(os.path.join(log_path, "config.json"), "w") as f:
         json.dump({k: str(v) for k, v in cfg.__dict__.items()}, f, indent=1)
+    _snapshot_source(log_path)
 
     ds_cls = get_dataset(cfg.dataset_name)
     train_ds = ds_cls(cfg.root_dir, "train", cfg.img_wh, cfg)
