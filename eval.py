@@ -51,21 +51,7 @@ def get_opt(argv=None):
     return config_from_namespace(ns), ns
 
 
-def load_params_any(path: str, params_like: dict) -> dict:
-    """Load either our npz checkpoints or a reference torch .ckpt."""
-    if path.endswith(".npz"):
-        from mirror_nerf_tpu.train.checkpoints import load_pytree
-
-        data = np.load(path)
-        if any(k.startswith("params/") for k in data.files):
-            tree = load_pytree(path, {"params": params_like,
-                                      "step": np.asarray(0),
-                                      "epoch": np.asarray(0)})
-            return tree["params"]
-        return load_pytree(path, params_like)
-    from mirror_nerf_tpu.train.checkpoints import load_torch_ckpt
-
-    return load_torch_ckpt(path, want_fine="fine" in params_like)
+from mirror_nerf_tpu.train.checkpoints import load_params_any  # noqa: E402
 
 
 def main(argv=None):

@@ -44,7 +44,7 @@ def main(argv=None):
                                            marching_tetrahedra, query_sigma_grid,
                                            vertex_normals, write_ply)
     from mirror_nerf_tpu.models.fields import make_field
-    from eval import load_params_any
+    from mirror_nerf_tpu.train.checkpoints import load_params_any
 
     split = "test" if cfg.dataset_name == "llff" else "train"
     ds_cls = get_dataset(cfg.dataset_name)

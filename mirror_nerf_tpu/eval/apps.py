@@ -28,7 +28,6 @@ Applications (all flag-compatible with the reference CLI):
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
 
@@ -195,6 +194,8 @@ def eval_trace(
     obj_render_fn: Optional[Callable] = None,
     frame_time: float = 0.0,
     normal_noise: Optional[jnp.ndarray] = None,  # (N, 3) roughness noise
+    compact_frac: float = 1.0,
+    compact_from_level: int = 1,
 ) -> dict:
     """One eval render level + (optionally) the traced reflection below it."""
     k_render, k_next = jax.random.split(jax.random.fold_in(rng, level))
@@ -241,26 +242,47 @@ def eval_trace(
         [secondary_o, reflect_dir, jnp.full_like(far, RAY_FORWARD_OFFSET), far],
         axis=-1)
 
-    if app.substitution and subst_params is not None:
-        rot, translation, scale = None, (0, 0, 0), 1.0
-        if hasattr(subst_field, "transform"):
-            rot, translation, scale = subst_field.transform
-        so = secondary[:, 0:3]
-        sd = secondary[:, 3:6]
-        if rot is not None:
-            R = jnp.asarray(rot, so.dtype)
-            so = so @ R.T
-            sd = l2_normalize(sd @ R.T)
-        so = so * scale + jnp.asarray(translation, so.dtype)
-        secondary = jnp.concatenate([so, sd, secondary[:, 6:8]], axis=-1)
-        sf = subst_field.field if hasattr(subst_field, "field") else field
-        sec = render_rays(sf, subst_params, secondary, k_next, rs)
-        sec["mirror_mask_resolved"] = jnp.zeros_like(mirror_mask)
-    else:
-        sec = eval_trace(
-            field, params, secondary, k_next, rs, app, max_recursive_level,
+    def _trace_bundle(bundle):
+        """Render a secondary-ray bundle: substitution field or recursion."""
+        if app.substitution and subst_params is not None:
+            rot, translation, scale = None, (0, 0, 0), 1.0
+            if hasattr(subst_field, "transform"):
+                rot, translation, scale = subst_field.transform
+            so = bundle[:, 0:3]
+            sd = bundle[:, 3:6]
+            if rot is not None:
+                R = jnp.asarray(rot, so.dtype)
+                so = so @ R.T
+                sd = l2_normalize(sd @ R.T)
+            so = so * scale + jnp.asarray(translation, so.dtype)
+            bundle = jnp.concatenate([so, sd, bundle[:, 6:8]], axis=-1)
+            sf = subst_field.field if hasattr(subst_field, "field") else field
+            return render_rays(sf, subst_params, bundle, k_next, rs)
+        return eval_trace(
+            field, params, bundle, k_next, rs, app, max_recursive_level,
             trace_secondary_rays, level + 1, subst_params, subst_field,
-            obj_render_fn, frame_time, None)
+            obj_render_fn, frame_time, None, compact_frac, compact_from_level)
+
+    n = rays.shape[0]
+    compact = (compact_frac < 1.0 and level >= compact_from_level
+               and int(n * compact_frac) < n)
+    if compact:
+        # fixed-capacity compaction of the secondary bundle — the reference
+        # eval compacts to mirror rays at level >= 1 (eval.py:159,548); here
+        # the top-capacity rays by mask are gathered, traced, scattered back.
+        cap = min(max((int(n * compact_frac) + 127) // 128 * 128, 128), n)
+        order = jnp.argsort(-mirror_mask)
+        idx = order[:cap]
+        sec_sub = _trace_bundle(secondary[idx])
+
+        def _expand(v):
+            out = jnp.zeros((n,) + v.shape[1:], v.dtype)
+            return out.at[idx].set(v)
+
+        sec = {k: _expand(v) for k, v in sec_sub.items()
+               if k.startswith(("rgb_", "depth_"))}
+    else:
+        sec = _trace_bundle(secondary)
 
     m = mirror_mask[:, None]
     base = results[f"rgb_{sel}"]
@@ -289,6 +311,31 @@ class AppContext:
     subst_field: object = None
     subst_params: Optional[dict] = None
     obj_render_fn: Optional[Callable] = None
+    jit_cache: dict = None  # (compact_frac, has_noise) -> compiled trace
+
+    def traced(self, compact_frac: float, has_noise: bool):
+        """One compiled eval trace per (capacity, noise) variant. frame_time
+        and the roughness noise are *traced* arguments, so every view of a
+        split reuses the same executable."""
+        if self.jit_cache is None:
+            self.jit_cache = {}
+        key = (compact_frac, has_noise)
+        if key not in self.jit_cache:
+            cfg = self.cfg
+
+            def fn(params, rays, k, frame_time, noise):
+                return eval_trace(
+                    self.field, params, rays, k, self.rs, self.app,
+                    cfg.max_recursive_level, cfg.trace_secondary_rays,
+                    subst_params=self.subst_params,
+                    subst_field=self.subst_field,
+                    obj_render_fn=self.obj_render_fn,
+                    frame_time=frame_time,
+                    normal_noise=noise if has_noise else None,
+                    compact_frac=compact_frac, compact_from_level=1)
+
+            self.jit_cache[key] = jax.jit(fn)
+        return self.jit_cache[key]
 
     @classmethod
     def build(cls, cfg, args, field, params):
@@ -323,7 +370,7 @@ class AppContext:
             like = {"coarse": sub_field.init(_jax.random.PRNGKey(0))}
             if cfg.N_importance > 0 and not cfg.only_one_field:
                 like["fine"] = sub_field.init(_jax.random.PRNGKey(1))
-            from eval import load_params_any
+            from ..train.checkpoints import load_params_any
 
             class _Sub:
                 pass
@@ -353,6 +400,48 @@ def _pad(arr, n):
     return np.concatenate([arr, arr[-1:].repeat(pad, axis=0)], axis=0)
 
 
+CAPACITY_BUCKETS = (0.125, 0.25, 0.5, 1.0)
+
+
+def estimate_mirror_fraction(ctx: AppContext, rays_all: np.ndarray,
+                             key: jax.Array) -> float:
+    """Cheap low-res prepass: level-0 mirror-mask fraction of this view.
+
+    Used to pick the secondary-ray capacity bucket per view — the host-side
+    analog of the reference's dynamic boolean compaction (eval.py:548), with
+    static shapes per bucket.
+    """
+    n = rays_all.shape[0]
+    stride = max(n // 2048, 1)
+    sub = rays_all[::stride][:2048]
+    if len(sub) < 2048:
+        sub = np.concatenate(
+            [sub, sub[-1:].repeat(2048 - len(sub), axis=0)], axis=0)
+    if ctx.jit_cache is None:
+        ctx.jit_cache = {}
+    if "prepass" not in ctx.jit_cache:
+        def fn(params, rays, k):
+            return eval_trace(
+                ctx.field, params, rays, k, ctx.rs, ctx.app,
+                max_recursive_level=0, trace_secondary_rays=False,
+                obj_render_fn=ctx.obj_render_fn,
+            )["mirror_mask_resolved"]
+
+        ctx.jit_cache["prepass"] = jax.jit(fn)
+    mask = np.asarray(ctx.jit_cache["prepass"](ctx.params, jnp.asarray(sub),
+                                               key))
+    return float(mask.mean())
+
+
+def pick_capacity(frac: float) -> float:
+    """Smallest capacity bucket covering the estimate with safety margin."""
+    need = min(frac * 1.3 + 0.03, 1.0)
+    for b in CAPACITY_BUCKETS:
+        if b >= need:
+            return b
+    return 1.0
+
+
 def run_view(ctx: AppContext, sample: dict, progress: float,
              key: jax.Array) -> dict:
     """Render one full view through fixed-size chunks; returns numpy dict."""
@@ -365,18 +454,22 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
     noise_std = (args.normal_noise_std * progress_cycle
                  if args.normal_noise_std_changes else args.normal_noise_std)
 
-    traced = jax.jit(functools.partial(
-        eval_trace, ctx.field,
-        rs=ctx.rs, app=ctx.app,
-        max_recursive_level=cfg.max_recursive_level,
-        trace_secondary_rays=cfg.trace_secondary_rays,
-        subst_params=ctx.subst_params, subst_field=ctx.subst_field,
-        obj_render_fn=ctx.obj_render_fn, frame_time=progress),
-        static_argnames=())
+    # adaptive secondary-ray capacity (exact while mirror pixels fit; the
+    # new-mirror app changes the mask after level 0, so it traces everything)
+    if cfg.trace_secondary_rays and ctx.app.place_new_mirror is None \
+            and cfg.max_recursive_level > 0:
+        frac = estimate_mirror_fraction(ctx, rays_all, key)
+        compact_frac = pick_capacity(frac)
+    else:
+        compact_frac = 1.0
+
+    traced = ctx.traced(compact_frac, has_noise=ctx.app.roughness)
+    ft = jnp.float32(progress)
 
     def run_chunk(rays_np, k, normal_noise=None):
-        return traced(ctx.params, jnp.asarray(rays_np), k,
-                      normal_noise=normal_noise)
+        if normal_noise is None:
+            normal_noise = jnp.zeros((rays_np.shape[0], 3), jnp.float32)
+        return traced(ctx.params, jnp.asarray(rays_np), k, ft, normal_noise)
 
     outs = {}
     for start in range(0, n, chunk):

@@ -123,3 +123,17 @@ def load_torch_ckpt(path: str, want_fine: bool = True) -> dict:
     if want_fine and any(k.startswith("nerf_fine.") for k in sd):
         out["fine"] = torch_mirror_nerf_to_params(sd, "nerf_fine")
     return out
+
+
+def load_params_any(path: str, params_like: dict) -> dict:
+    """Load params from either our npz checkpoints (raw pytree or full train
+    ckpt) or a reference torch Lightning .ckpt (prefix-mapped)."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+        if any(k.startswith("params/") for k in data.files):
+            tree = load_pytree(path, {"params": params_like,
+                                      "step": np.asarray(0),
+                                      "epoch": np.asarray(0)})
+            return tree["params"]
+        return load_pytree(path, params_like)
+    return load_torch_ckpt(path, want_fine="fine" in params_like)

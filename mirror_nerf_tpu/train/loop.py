@@ -355,8 +355,20 @@ def render_image_chunked(field, params, rays: np.ndarray,
         m = np.concatenate(
             [mirror_mask[start:end], mirror_mask[end - pad:end][::-1]]) if pad \
             else mirror_mask[start:end]
-        res = traced(params, put(r), put(m),
-                     jax.random.fold_in(rng, start), ts=ts)
+        try:
+            res = traced(params, put(r), put(m),
+                         jax.random.fold_in(rng, start), ts=ts)
+        except Exception as e:  # noqa: BLE001
+            # Very large σ-gradient render graphs can trip internal libtpu
+            # compiler bugs (register-allocation RET_CHECKs). Halve the
+            # chunk and retry — smaller programs compile fine.
+            if start == 0 and chunk > 256 and "INTERNAL" in str(e):
+                print(f"[warn] render compile failed at chunk={chunk}; "
+                      f"retrying with {chunk // 2}")
+                return render_image_chunked(
+                    field, params, rays, mirror_mask, rng, ts, chunk // 2,
+                    keys, mesh)
+            raise
         for k in keys:
             if k in res:
                 v = np.asarray(res[k])
