@@ -322,17 +322,27 @@ class AppContext:
         key = (compact_frac, has_noise)
         if key not in self.jit_cache:
             cfg = self.cfg
-
-            def fn(params, rays, k, frame_time, noise):
-                return eval_trace(
-                    self.field, params, rays, k, self.rs, self.app,
-                    cfg.max_recursive_level, cfg.trace_secondary_rays,
-                    subst_params=self.subst_params,
-                    subst_field=self.subst_field,
-                    obj_render_fn=self.obj_render_fn,
-                    frame_time=frame_time,
-                    normal_noise=noise if has_noise else None,
-                    compact_frac=compact_frac, compact_from_level=1)
+            if cfg.max_recursive_level > 3 and not (
+                    self.app.substitution or self.app.reflect_objects
+                    or has_noise):
+                # deep recursion (e.g. new-mirror inter-reflections at 50
+                # levels): while_loop formulation, one compiled render body
+                def fn(params, rays, k, frame_time, noise):
+                    return eval_trace_deep(
+                        self.field, params, rays, k, self.rs, self.app,
+                        cfg.max_recursive_level, cfg.trace_secondary_rays,
+                        frame_time)
+            else:
+                def fn(params, rays, k, frame_time, noise):
+                    return eval_trace(
+                        self.field, params, rays, k, self.rs, self.app,
+                        cfg.max_recursive_level, cfg.trace_secondary_rays,
+                        subst_params=self.subst_params,
+                        subst_field=self.subst_field,
+                        obj_render_fn=self.obj_render_fn,
+                        frame_time=frame_time,
+                        normal_noise=noise if has_noise else None,
+                        compact_frac=compact_frac, compact_from_level=1)
 
             self.jit_cache[key] = jax.jit(fn)
         return self.jit_cache[key]
@@ -398,6 +408,110 @@ def _pad(arr, n):
     if pad <= 0:
         return arr
     return np.concatenate([arr, arr[-1:].repeat(pad, axis=0)], axis=0)
+
+
+def eval_trace_deep(
+    field,
+    params: dict,
+    rays: jnp.ndarray,
+    rng: jax.Array,
+    rs: RenderSettings,
+    app: EvalAppFlags,
+    max_recursive_level: int,
+    trace_secondary_rays: bool,
+    frame_time=0.0,
+) -> dict:
+    """Deep Whitted trace as a `lax.while_loop` (for e.g. the new-mirror
+    app's `max_recursive_level=50`, run.sh:147).
+
+    Unrolling 50 bounce levels would explode compile time, and the
+    reference's data-dependent early-out (`mirror_mask.any()`,
+    eval.py:312-319) cannot be expressed in a static unroll. Restructured
+    front-to-back instead: carry (rays, throughput T = Π mirror masks,
+    accumulated rgb); each iteration renders ONE level, adds T·(1−m)·base,
+    multiplies T by m, reflects the rays — and the loop exits as soon as no
+    throughput remains. One compiled render body serves every depth.
+
+    Recursive blend equivalence: (1−m0)b0 + m0[(1−m1)b1 + m1[…]] =
+    Σ_L (Π_{j<L} m_j)(1−m_L)·b_L, with the cutoff level contributing its
+    full unblended color (m forced to 0 there).
+    """
+    sel = "fine" if rs.fine_pass == "fine" else "coarse"
+    n = rays.shape[0]
+
+    def render_level(rays_l, level, key):
+        res = render_rays(field, params, rays_l, key, rs)
+        mask = _resolve_pred_mask(res, sel)
+        if mask is None:
+            mask = jnp.zeros(n, jnp.float32)
+        secondary_o = res[f"x_surface_{sel}"]
+        normal = _surface_normal_eval(res, sel)
+        if app.place_new_mirror is not None:
+            # the virtual mirror exists physically: inject at EVERY level so
+            # inter-reflections happen (the reference closure runs the
+            # injection at each recursion level)
+            res, mask, normal, secondary_o = _inject_plane_mirror(
+                app, rays_l, res, sel, mask, normal, secondary_o)
+        normal = l2_normalize(normal)
+        d = rays_l[:, 3:6]
+        w = l2_normalize(-d)
+        cos = jnp.sum(w * normal, axis=-1, keepdims=True)
+        reflect_dir = 2.0 * cos * normal - w
+        far = rays_l[:, 7:8]
+        nxt = jnp.concatenate(
+            [secondary_o, reflect_dir,
+             jnp.full_like(far, RAY_FORWARD_OFFSET), far], axis=-1)
+        return res, mask, nxt, secondary_o, reflect_dir
+
+    # level 0 outside the loop: its full results dict (viz keys) is returned
+    k0, kloop = jax.random.split(rng)
+    res0, m0, rays1, sec_o0, refl0 = render_level(rays, 0, k0)
+    results = dict(res0)
+    results["secondary_rays_o"] = sec_o0
+    results["reflect_direction"] = refl0
+    base0 = res0[f"rgb_{sel}"]
+
+    do_trace = (trace_secondary_rays or app.place_new_mirror is not None) \
+        and max_recursive_level > 0
+    if not do_trace:
+        results[f"rgb_{sel}_reflect"] = jnp.zeros_like(base0)
+        results[f"depth_{sel}_reflect"] = jnp.zeros_like(res0[f"depth_{sel}"])
+        results["mirror_mask_resolved"] = m0
+        return results
+
+    def cond(carry):
+        level, _, T, _, _, _ = carry
+        return jnp.logical_and(level <= max_recursive_level,
+                               jnp.any(T > 0.0))
+
+    def body(carry):
+        level, rays_l, T, rgb_acc, ref_rgb, ref_depth = carry
+        key = jax.random.fold_in(kloop, level)
+        res, m, nxt, _, _ = render_level(rays_l, level, key)
+        # cutoff: the last allowed level contributes unblended
+        m = jnp.where(level >= max_recursive_level, 0.0, m)
+        base = res[f"rgb_{sel}"]
+        rgb_acc = rgb_acc + T[:, None] * (1.0 - m[:, None]) * base
+        # level-1 values feed the reflect visualizations
+        ref_rgb = jnp.where(level == 1, base, ref_rgb)
+        ref_depth = jnp.where(level == 1, res[f"depth_{sel}"], ref_depth)
+        T = T * m
+        return level + 1, nxt, T, rgb_acc, ref_rgb, ref_depth
+
+    init = (jnp.asarray(1), rays1, m0,
+            (1.0 - m0[:, None]) * base0,
+            jnp.zeros_like(base0), jnp.zeros_like(m0))
+    _, _, _, rgb_acc, ref_rgb, ref_depth = jax.lax.while_loop(cond, body, init)
+
+    results[f"rgb_{sel}_direct"] = base0
+    results[f"rgb_{sel}"] = rgb_acc
+    # reflect viz = the fully blended secondary color, masked to the mirror
+    # (the unrolled eval shows it unmasked at level 0; viz-only difference)
+    results[f"rgb_{sel}_reflect"] = rgb_acc - (1.0 - m0[:, None]) * base0
+    results[f"depth_{sel}_reflect"] = m0 * ref_depth
+    results["mirror_mask_resolved"] = m0
+    del ref_rgb  # carried only to keep the loop state static
+    return results
 
 
 CAPACITY_BUCKETS = (0.125, 0.25, 0.5, 1.0)
