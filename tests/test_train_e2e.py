@@ -100,6 +100,32 @@ def test_two_stage_training_learns(scene, cfg, tmp_path):
     assert np.isfinite(res["rgb_fine"]).all()
 
 
+def test_multichip_matches_single_device(scene, cfg, tmp_path):
+    """SPMD over 8 virtual devices must equal the 1-device step numerically."""
+    ds = BlenderDataset(scene, "train", cfg.img_wh, cfg)
+    from mirror_nerf_tpu.parallel.mesh import batch_sharding
+    from mirror_nerf_tpu.train.loop import EpochStatics
+
+    rays, rgbs, masks = ds.train_buffers()
+    losses = {}
+    for n_dev in (1, 8):
+        trainer = Trainer(cfg, ds, str(tmp_path / f"m{n_dev}"),
+                          mesh=get_mesh(n_dev))
+        step = trainer.get_step_fn(EpochStatics.of(cfg, 1, False))
+        bsh = batch_sharding(trainer.mesh)
+        batch = {
+            "rays": jax.device_put(rays[:cfg.batch_size], bsh),
+            "rgbs": jax.device_put(rgbs[:cfg.batch_size], bsh),
+            "mirror_mask": jax.device_put(masks[:cfg.batch_size], bsh),
+        }
+        params, _, aux = step(trainer.params, trainer.opt_state, batch,
+                              jax.random.PRNGKey(0))
+        losses[n_dev] = (float(aux["loss"]),
+                         float(jax.tree_util.tree_leaves(params)[0].sum()))
+    np.testing.assert_allclose(losses[1][0], losses[8][0], rtol=1e-4)
+    np.testing.assert_allclose(losses[1][1], losses[8][1], rtol=1e-4)
+
+
 def test_multichip_step_runs_on_virtual_mesh(scene, cfg, tmp_path):
     """The sharded train step must compile and run on all 8 virtual devices."""
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
