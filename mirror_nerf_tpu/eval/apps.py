@@ -585,6 +585,20 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
             normal_noise = jnp.zeros((rays_np.shape[0], 3), jnp.float32)
         return traced(ctx.params, jnp.asarray(rays_np), k, ft, normal_noise)
 
+    # very large trace graphs can trip internal libtpu compiler bugs
+    # (register-allocation RET_CHECKs); probe the first chunk and halve on
+    # INTERNAL compile failures
+    while chunk > 256:
+        try:
+            run_chunk(_pad(rays_all[:chunk], chunk), key)
+            break
+        except Exception as e:  # noqa: BLE001
+            if "INTERNAL" not in str(e):
+                raise
+            print(f"[warn] eval trace compile failed at chunk={chunk}; "
+                  f"retrying with {chunk // 2}")
+            chunk //= 2  # same jitted fn retraces at the smaller shape
+
     outs = {}
     for start in range(0, n, chunk):
         r = _pad(rays_all[start:start + chunk], chunk)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .embedding import posenc, posenc_dim
-from .nn import init_linear, leaky_relu, linear, relu, sigmoid
+from .nn import init_linear, leaky_relu, relu, sigmoid
 
 
 @dataclass(frozen=True)

@@ -19,7 +19,7 @@ train.py:586).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

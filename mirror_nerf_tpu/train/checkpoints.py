@@ -10,8 +10,6 @@ param pytrees so quality parity can be validated against released weights.
 from __future__ import annotations
 
 import os
-import re
-from typing import Optional
 
 import jax
 import numpy as np
