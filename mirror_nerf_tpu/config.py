@@ -104,6 +104,10 @@ class Config:
     plane_consistent_loss_weight: float = 0.1
 
     # --- TPU-specific additions (not in the reference surface) ---
+    # capacity fraction for secondary-ray compaction when
+    # only_trace_rays_in_mirrors is set (1.0 = trace everything masked);
+    # exact whenever a batch's mirror-pixel count fits the capacity
+    compact_frac: float = 0.25
     seed: int = 1
     mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on one axis
     param_dtype: str = "float32"
@@ -204,6 +208,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    default=d.plane_consistent_loss_weight)
 
     # TPU-specific
+    p.add_argument("--compact_frac", type=float, default=d.compact_frac)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--param_dtype", type=str, default=d.param_dtype)
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype)

@@ -77,6 +77,8 @@ def make_trace_settings(cfg, epoch: int, geometry_stage: bool,
             cfg.detach_ref_color_for_blend
             and epoch >= cfg.train_geometry_stage_end_epoch + 1),
         is_eval=is_eval,
+        compact_frac=(cfg.compact_frac if cfg.only_trace_rays_in_mirrors
+                      else 1.0),
     )
 
 
@@ -173,23 +175,17 @@ class Trainer:
         # representative epoch for the settings constructors
         epoch = 10**6 if not statics.geometry_stage else 0
 
-        ts = make_trace_settings(cfg, epoch, statics.geometry_stage,
-                                 is_eval=False)
-        ts = TraceSettings(
-            render=RenderSettings(
-                **{**ts.render.__dict__, "fine_pass": statics.fine_pass}),
-            trace_secondary_rays=ts.trace_secondary_rays,
-            max_recursive_level=ts.max_recursive_level,
-            only_trace_mode=ts.only_trace_mode,
-            only_trace_rays_in_mirrors=ts.only_trace_rays_in_mirrors,
-            detach_normal_in_reflection=ts.detach_normal_in_reflection,
-            detach_ref_color_for_blend=(
-                cfg.detach_ref_color_for_blend and statics.detach_ref_blend),
-            is_eval=False,
-        )
-        ls = make_loss_settings(cfg, statics.geometry_stage, epoch)
         from dataclasses import replace as dc_replace
 
+        ts = make_trace_settings(cfg, epoch, statics.geometry_stage,
+                                 is_eval=False)
+        ts = dc_replace(
+            ts,
+            render=dc_replace(ts.render, fine_pass=statics.fine_pass),
+            detach_ref_color_for_blend=(
+                cfg.detach_ref_color_for_blend and statics.detach_ref_blend),
+        )
+        ls = make_loss_settings(cfg, statics.geometry_stage, epoch)
         ls = dc_replace(
             ls,
             enable_mask_loss=statics.enable_mask_loss,
