@@ -196,3 +196,32 @@ class TestNGPField:
 
         g = jax.grad(loss)(params)
         assert float(jnp.abs(g["grid"]).sum()) > 0
+
+
+class TestEncoderFactory:
+    def test_factory_dispatch(self):
+        import jax
+
+        from mirror_nerf_tpu.models.encoding import get_encoder
+
+        enc, dim = get_encoder("None", input_dim=3)
+        assert dim == 3
+        enc, dim = get_encoder("frequency", multires=6)
+        assert dim == 3 * (1 + 2 * 6)
+        enc, dim = get_encoder("sphere_harmonics", degree=4)
+        assert dim == 16
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        assert enc(d).shape == (1, 16)
+        enc, dim = get_encoder("hashgrid", num_levels=4, level_dim=2,
+                               log2_hashmap_size=8, desired_resolution=64)
+        assert dim == 8
+        table = enc.init(jax.random.PRNGKey(0))
+        out = enc(table, jnp.zeros((5, 3)), bound=1.0)
+        assert out.shape == (5, 8)
+
+    def test_tiled_gridtype_never_hashes(self):
+        from mirror_nerf_tpu.models.encoding import get_encoder
+
+        enc, _ = get_encoder("tiledgrid", num_levels=6, level_dim=2,
+                             log2_hashmap_size=8, desired_resolution=128)
+        assert all(not lv.use_hash for lv in enc.spec.levels())
