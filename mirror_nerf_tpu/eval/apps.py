@@ -228,6 +228,9 @@ def eval_trace(
         results, mirror_mask, normal, secondary_o = _inject_plane_mirror(
             app, rays, results, sel, mirror_mask, normal, secondary_o)
 
+    if level == 0:
+        # unperturbed surface normal, exported for the roughness bundles
+        results["_normal_presmooth"] = normal
     if normal_noise is not None and level == 0:
         normal = normal + normal_noise
 
@@ -346,6 +349,34 @@ class AppContext:
 
             self.jit_cache[key] = jax.jit(fn)
         return self.jit_cache[key]
+
+    def roughness_bundle(self):
+        """Compiled secondary-bundle render for the roughness app: perturbed
+        normal → reflected rays → one traced render; returns rgb_sel."""
+        if self.jit_cache is None:
+            self.jit_cache = {}
+        if "roughness_bundle" not in self.jit_cache:
+            cfg = self.cfg
+            sel = "fine" if self.rs.fine_pass == "fine" else "coarse"
+
+            def fn(params, secondary_o, normal_base, rays, noise, key):
+                normal = l2_normalize(normal_base + noise)
+                d = rays[:, 3:6]
+                far = rays[:, 7:8]
+                w = l2_normalize(-d)
+                cos = jnp.sum(w * normal, axis=-1, keepdims=True)
+                reflect_dir = 2.0 * cos * normal - w
+                bundle = jnp.concatenate(
+                    [secondary_o, reflect_dir,
+                     jnp.full_like(far, RAY_FORWARD_OFFSET), far], axis=-1)
+                res = eval_trace(
+                    self.field, params, bundle, key, self.rs, self.app,
+                    cfg.max_recursive_level, cfg.trace_secondary_rays,
+                    level=1)
+                return res[f"rgb_{sel}"]
+
+            self.jit_cache["roughness_bundle"] = jax.jit(fn)
+        return self.jit_cache["roughness_bundle"]
 
     @classmethod
     def build(cls, cfg, args, field, params):
@@ -608,20 +639,27 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
         if not ctx.app.roughness:
             res = run_chunk(r, k)
         else:
-            # Monte-Carlo glossy reflection: average trace_ray_times+1 bundles
+            # Monte-Carlo glossy reflection: render the BASE view once, then
+            # trace trace_ray_times+1 perturbed-normal secondary bundles and
+            # average — the reference loops only the secondary renders too
+            # (eval.py:625-660); re-rendering the base per bundle would
+            # double the cost.
             T = args.trace_ray_times
+            base = {kk: np.asarray(vv)
+                    for kk, vv in run_chunk(r, k, normal_noise=jnp.zeros(
+                        (chunk, 3), jnp.float32)).items()}
+            sel = "fine" if ctx.rs.fine_pass == "fine" else "coarse"
+            bundle = ctx.roughness_bundle()
             acc = None
-            base = None
             for t in range(T + 1):
                 kt = jax.random.fold_in(k, t)
                 noise = jax.random.normal(kt, (chunk, 3)) * noise_std
-                res_t = run_chunk(r, kt, normal_noise=noise)
-                sec_rgb = np.asarray(res_t["_sec_rgb"])
+                sec_rgb = np.asarray(bundle(
+                    ctx.params, jnp.asarray(base["secondary_rays_o"]),
+                    jnp.asarray(base["_normal_presmooth"]),
+                    jnp.asarray(r), noise, kt))
                 acc = sec_rgb if acc is None else acc + sec_rgb
-                if t == 0:
-                    base = {kk: np.asarray(vv) for kk, vv in res_t.items()}
             sec_mean = acc / (T + 1)
-            sel = "fine" if ctx.rs.fine_pass == "fine" else "coarse"
             m = base["mirror_mask_resolved"][:, None]
             base[f"rgb_{sel}"] = (m * sec_mean
                                   + (1 - m) * base[f"rgb_{sel}_direct"])
@@ -630,7 +668,7 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
 
         for kk, vv in res.items():
             if kk.startswith(("weights_", "z_vals_", "normal_", "pred_normal_",
-                              "_sec")) and kk != "normal_dif_fine":
+                              "_")) and kk != "normal_dif_fine":
                 continue
             v = np.asarray(vv)
             outs.setdefault(kk, []).append(v[:valid])
