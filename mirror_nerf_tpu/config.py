@@ -105,9 +105,11 @@ class Config:
 
     # --- TPU-specific additions (not in the reference surface) ---
     # capacity fraction for secondary-ray compaction when
-    # only_trace_rays_in_mirrors is set (1.0 = trace everything masked);
-    # exact whenever a batch's mirror-pixel count fits the capacity
-    compact_frac: float = 0.25
+    # only_trace_rays_in_mirrors is set (1.0 = off: trace everything,
+    # masked). Only exact while a batch's mirror-pixel count fits the
+    # capacity — set below 1.0 only for scenes with small mirror fractions;
+    # overflowing drops reflections from training and stalls the color loss
+    compact_frac: float = 1.0
     seed: int = 1
     mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on one axis
     param_dtype: str = "float32"
