@@ -173,3 +173,18 @@ class TestSampling:
 
         g = jax.grad(f)(jnp.ones((2, 8)) * 0.5)
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+class TestNDC:
+    def test_ndc_rays_map_depth_range_to_unit_interval(self):
+        # forward-facing camera at origin looking down -z
+        H, W, focal = 12, 16, 20.0
+        d = ray_mod.get_ray_directions(H, W, focal)
+        o, dd = ray_mod.get_rays(d, np.eye(4)[:3])
+        o_ndc, d_ndc = ray_mod.get_ndc_rays(H, W, focal, 1.0, o, dd)
+        assert np.isfinite(o_ndc).all() and np.isfinite(d_ndc).all()
+        # points at the near plane (t=0) have z=o2; at t=1 z=o2+d2=1
+        np.testing.assert_allclose(o_ndc[:, 2] + d_ndc[:, 2], 1.0, atol=1e-5)
+        # the center ray starts at the near plane z: 1 + 2*near/(-near) = -1
+        center = (H // 2) * W + W // 2
+        np.testing.assert_allclose(o_ndc[center, 2], -1.0, atol=1e-5)
