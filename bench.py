@@ -24,6 +24,10 @@ TARGET_RAYS_PER_SEC = 2_000_000.0
 
 def main():
     import jax
+
+    from mirror_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from mirror_nerf_tpu.core.rays import get_ray_directions, get_rays, \

@@ -56,6 +56,10 @@ from mirror_nerf_tpu.train.checkpoints import load_params_any  # noqa: E402
 
 def main(argv=None):
     cfg, args = get_opt(argv)
+
+    from mirror_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from mirror_nerf_tpu.data import get_dataset

@@ -37,6 +37,10 @@ def get_opt(argv=None):
 
 def main(argv=None):
     cfg, args = get_opt(argv)
+
+    from mirror_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     from mirror_nerf_tpu.data import get_dataset

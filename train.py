@@ -39,6 +39,10 @@ def main(cfg=None):
 
         cfg = get_opts()
 
+    from mirror_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     from mirror_nerf_tpu.data import get_dataset
