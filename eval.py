@@ -28,6 +28,13 @@ def get_opt(argv=None):
     parser.add_argument("--not_save_depth", default=False, action="store_true")
     parser.add_argument("--depth_format", type=str, nargs="+", default=["png"])
     parser.add_argument("--render_coarse_rgb", default=False, action="store_true")
+    # occupancy-grid empty-space skipping (TPU acceleration, opt-in)
+    parser.add_argument("--use_occupancy_grid", default=False,
+                        action="store_true")
+    parser.add_argument("--occ_resolution", type=int, default=128)
+    parser.add_argument("--occ_sigma_threshold", type=float, default=0.01)
+    parser.add_argument("--occ_frac_coarse", type=float, default=0.25)
+    parser.add_argument("--occ_frac_fine", type=float, default=0.75)
     # applications
     parser.add_argument("--app_control_mirror_roughness", default=False,
                         action="store_true")
@@ -81,6 +88,19 @@ def main(argv=None):
         params_like["fine"] = field.init(jax.random.PRNGKey(1))
     params = load_params_any(cfg.ckpt_path, params_like) if cfg.ckpt_path \
         else params_like
+
+    if args.use_occupancy_grid:
+        from mirror_nerf_tpu.render.occupancy import (OccupancySpec,
+                                                      build_occupancy_grid)
+
+        spec = OccupancySpec.for_bound(cfg.bound, args.occ_resolution,
+                                       args.occ_sigma_threshold)
+        print(f"[info] building occupancy grid {args.occ_resolution}^3 ...")
+        grid = build_occupancy_grid(
+            field, params.get("fine", params["coarse"]), spec)
+        occ_frac = float(np.asarray(grid).mean())
+        print(f"[info] occupied fraction: {occ_frac:.3f}")
+        params = {**params, "occ_grid": grid}
 
     ctx = AppContext.build(cfg, args, field, params)
 

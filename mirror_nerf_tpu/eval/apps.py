@@ -396,6 +396,19 @@ class AppContext:
             reflect_objects=args.app_reflect_newly_placed_objects,
             near=cfg.near,
         )
+        if getattr(args, "use_occupancy_grid", False):
+            from dataclasses import replace as dc_replace
+
+            from ..render.occupancy import OccupancySpec
+
+            rs = dc_replace(
+                rs,
+                occupancy=OccupancySpec.for_bound(
+                    cfg.bound, args.occ_resolution,
+                    args.occ_sigma_threshold),
+                occ_frac_coarse=args.occ_frac_coarse,
+                occ_frac_fine=args.occ_frac_fine,
+            )
         ctx = cls(cfg=cfg, args=args, field=field, params=params, rs=rs,
                   app=app)
         if app.substitution:

@@ -1,0 +1,127 @@
+"""Occupancy-grid empty-space skipping (eval acceleration).
+
+The reference evaluates its MLP at every stratified sample; in trained NeRFs
+80–95% of coarse samples land in empty space. This module adds the standard
+occupancy-grid acceleration (the technique NerfAcc/Instant-NGP use, here in
+static-shape TPU form):
+
+  * a binary grid over the scene AABB is built by densely querying the
+    trained σ field and thresholding (+1-cell dilation as safety margin);
+  * at render time each sample point is tested against the grid with pure
+    integer ops (no gathers beyond one bit-table lookup);
+  * occupied samples are compacted into a fixed-capacity buffer with a
+    cumsum-scatter (no sort), the field runs on the buffer only, and results
+    scatter back — empty samples contribute exactly zero density.
+
+Opt-in (`--use_occupancy_grid`): skipping sub-threshold cells is the one
+approximation (identical to the reference techniques' behavior); everything
+else is exact. Conservative outside the AABB (treated as occupied).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class OccupancySpec:
+    resolution: int = 128
+    aabb_min: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+    aabb_max: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    sigma_threshold: float = 0.01
+
+    @classmethod
+    def for_bound(cls, bound: float, resolution: int = 128,
+                  sigma_threshold: float = 0.01) -> "OccupancySpec":
+        b = float(bound)
+        return cls(resolution, (-b, -b, -b), (b, b, b), sigma_threshold)
+
+
+def build_occupancy_grid(field, params: dict, spec: OccupancySpec,
+                         chunk: int = 256 * 1024) -> jnp.ndarray:
+    """(R, R, R) bool grid from a dense σ query of the (fine) field."""
+    r = spec.resolution
+    lo = np.asarray(spec.aabb_min, np.float32)
+    hi = np.asarray(spec.aabb_max, np.float32)
+    cell = (hi - lo) / r
+    axes = [np.linspace(lo[d] + 0.5 * cell[d], hi[d] - 0.5 * cell[d], r,
+                        dtype=np.float32) for d in range(3)]
+    xyz = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+
+    @jax.jit
+    def q(pts):
+        sigma, _ = field.density(params, pts)
+        return sigma
+
+    out = []
+    n = len(xyz)
+    for i in range(0, n, chunk):
+        pts = xyz[i:i + chunk]
+        pad = chunk - len(pts)
+        if pad:
+            pts = np.concatenate([pts, pts[-1:].repeat(pad, 0)])
+        s = np.asarray(q(jnp.asarray(pts)))
+        out.append(s[:chunk - pad] if pad else s)
+    sigma = np.concatenate(out)[:n].reshape(r, r, r)
+    occ = sigma > spec.sigma_threshold
+    # dilate by one cell so surfaces straddling cell borders are kept
+    from scipy.ndimage import binary_dilation
+
+    occ = binary_dilation(occ, np.ones((3, 3, 3), bool))
+    return jnp.asarray(occ)
+
+
+def occupancy_lookup(grid: jnp.ndarray, spec: OccupancySpec,
+                     xyz: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) points -> (N,) bool. Outside the AABB counts as occupied."""
+    r = spec.resolution
+    lo = jnp.asarray(spec.aabb_min, xyz.dtype)
+    hi = jnp.asarray(spec.aabb_max, xyz.dtype)
+    t = (xyz - lo) / (hi - lo)
+    inside = jnp.all((t >= 0.0) & (t < 1.0), axis=-1)
+    idx = jnp.clip((t * r).astype(jnp.int32), 0, r - 1)
+    flat = (idx[:, 0] * r + idx[:, 1]) * r + idx[:, 2]
+    occ = grid.reshape(-1)[flat]
+    return jnp.where(inside, occ, True)
+
+
+def compact_apply(apply_fn, occ: jnp.ndarray, capacity: int, defaults,
+                  *point_arrays):
+    """Run `apply_fn` only on occupied points via cumsum-scatter compaction.
+
+    Args:
+      apply_fn: f(*compacted_arrays) -> tuple of (C, ...) outputs.
+      occ: (M,) bool occupancy per point.
+      capacity: compacted buffer size C (static). Overflowing occupied points
+        fall back to `defaults` (conservative capacity avoids this).
+      defaults: tuple of per-output fill values for skipped points.
+      point_arrays: (M, ...) arrays to compact.
+    Returns:
+      tuple of (M, ...) outputs (scattered back; skipped points = defaults).
+    """
+    m = occ.shape[0]
+    pos = jnp.cumsum(occ.astype(jnp.int32)) - 1  # slot for occupied points
+    valid = occ & (pos < capacity)
+    slot = jnp.where(valid, pos, capacity)  # capacity = drop bucket
+
+    compacted = []
+    for arr in point_arrays:
+        buf = jnp.zeros((capacity + 1,) + arr.shape[1:], arr.dtype)
+        compacted.append(buf.at[slot].set(arr, mode="drop")[:capacity])
+    outs = apply_fn(*compacted)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+
+    results = []
+    pos_c = jnp.minimum(pos, capacity - 1)
+    for out, default in zip(outs, defaults):
+        gathered = out[pos_c]
+        fill = jnp.asarray(default, out.dtype)
+        results.append(jnp.where(
+            valid.reshape((m,) + (1,) * (out.ndim - 1)), gathered, fill))
+    return tuple(results)

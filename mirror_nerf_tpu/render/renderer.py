@@ -49,6 +49,14 @@ class RenderSettings:
     detach_density_outside_mirror_for_mask_loss: bool = False
     detach_density_for_mask_loss: bool = False
     detach_density_for_normal_loss: bool = False
+    # occupancy-grid empty-space skipping (render/occupancy.py). Active only
+    # when a spec is set AND the params carry an "occ_grid" (eval path).
+    # Fractions are the compacted-buffer capacities relative to the sample
+    # count: stratified coarse samples are mostly empty space, importance
+    # fine samples concentrate at surfaces.
+    occupancy: object = None  # Optional[OccupancySpec]
+    occ_frac_coarse: float = 0.25
+    occ_frac_fine: float = 0.75
 
     @property
     def has_fine(self) -> bool:
@@ -94,9 +102,16 @@ def _inference(
     sigma_only: bool,
     mirror_mask_per_ray,  # (N,) float GT mask (may carry -1 sentinel) or None
     gt_mask_valid,  # traced scalar bool or None
+    occ_grid=None,  # (R,R,R) bool occupancy grid, or None
 ):
     N, S = z_vals.shape
     xyz_flat = xyz.reshape(-1, 3)
+
+    if (rs.occupancy is not None and occ_grid is not None
+            and not rs.compute_normal):
+        return _inference_occupancy(
+            field, params, typ, xyz, z_vals, dirs, rng, rs, results,
+            sigma_only, occ_grid)
 
     if rs.compute_normal:
         sigma_flat, geo_flat, grad_flat = _density_with_grad(field, params, xyz_flat)
@@ -196,6 +211,83 @@ def _inference(
     return results
 
 
+def _inference_occupancy(field, params, typ, xyz, z_vals, dirs, rng, rs,
+                         results, sigma_only, occ_grid):
+    """Eval-path inference with empty-space skipping: field evaluation runs
+    only on samples inside occupied grid cells (fixed-capacity compaction,
+    see render/occupancy.py); skipped samples get exactly zero density."""
+    from .occupancy import compact_apply, occupancy_lookup
+
+    N, S = z_vals.shape
+    m = N * S
+    xyz_flat = xyz.reshape(-1, 3)
+    occ = occupancy_lookup(occ_grid, rs.occupancy, xyz_flat)
+    # stratified (coarse-count) passes are mostly empty space; merged
+    # importance passes concentrate at surfaces
+    is_fine_pass = S > rs.N_samples
+    frac = rs.occ_frac_fine if is_fine_pass else rs.occ_frac_coarse
+    cap = min(max((int(m * frac) + 127) // 128 * 128, 128), m)
+
+    if sigma_only:
+        def fn(xc):
+            sigma, _ = field.density(params, xc)
+            return (sigma,)
+
+        (sigmas,) = compact_apply(fn, occ, cap, (-1e10,), xyz_flat)
+        pred_normals = is_mirrors = rgbs = None
+    else:
+        dirs_flat = jnp.repeat(dirs, S, axis=0)
+
+        def fn(xc, dc):
+            sigma, geo = field.density(params, xc)
+            rgb = field.color(params, geo, dc)
+            outs = [sigma, rgb]
+            if field.predict_normal:
+                outs.append(l2_normalize(field.normal_head(params, geo)))
+            if field.predict_mirror_mask:
+                outs.append(field.mirror_head(params, geo))
+            return tuple(outs)
+
+        defaults = [-1e10, 0.0]
+        if field.predict_normal:
+            defaults.append(0.0)
+        if field.predict_mirror_mask:
+            defaults.append(0.0)
+        outs = compact_apply(fn, occ, cap, tuple(defaults), xyz_flat,
+                             dirs_flat)
+        it = iter(outs)
+        sigmas = next(it)
+        rgbs = next(it).reshape(N, S, 3)
+        pred_normals = next(it).reshape(N, S, 3) if field.predict_normal \
+            else None
+        is_mirrors = next(it).reshape(N, S) if field.predict_mirror_mask \
+            else None
+
+    sigmas = sigmas.reshape(N, S)
+    noise = jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
+    weights = _composite_weights(sigmas, z_vals, noise)
+    weights_sum = jnp.sum(weights, axis=-1)
+    results[f"weights_{typ}"] = weights
+    results[f"opacity_{typ}"] = weights_sum
+    results[f"z_vals_{typ}"] = z_vals
+    if sigma_only:
+        return results
+
+    rgb_map = jnp.sum(weights[..., None] * rgbs, axis=1)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    if rs.white_back:
+        rgb_map = rgb_map + (1.0 - weights_sum[:, None])
+    results[f"rgb_{typ}"] = rgb_map
+    results[f"depth_{typ}"] = depth_map
+    if is_mirrors is not None:
+        results[f"mirror_mask_{typ}"] = jnp.sum(weights * is_mirrors, axis=-1)
+    if pred_normals is not None:
+        results[f"pred_normal_{typ}"] = pred_normals
+        results[f"surface_normal_{typ}"] = jnp.sum(
+            pred_normals * weights[..., None], axis=1)
+    return results
+
+
 def render_rays(
     field,
     params: dict,  # {"coarse": pytree, "fine": pytree (optional)}
@@ -214,6 +306,7 @@ def render_rays(
     gt_mask_valid = None
     if mirror_mask_gt is not None:
         gt_mask_valid = jnp.all(mirror_mask_gt >= 0)
+    occ_grid = params.get("occ_grid") if isinstance(params, dict) else None
 
     k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)
 
@@ -227,7 +320,8 @@ def render_rays(
     coarse_sigma_only = rs.test_time and has_fine_model
     _inference(
         field, params["coarse"], "coarse", xyz_coarse, z_vals, dirs,
-        k_noise_c, rs, results, coarse_sigma_only, mirror_mask_gt, gt_mask_valid,
+        k_noise_c, rs, results, coarse_sigma_only, mirror_mask_gt,
+        gt_mask_valid, occ_grid,
     )
 
     if rs.has_fine:
@@ -242,11 +336,13 @@ def render_rays(
             _inference(
                 field, params["coarse"], "coarse", xyz_fine, z_fine, dirs,
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
+                occ_grid,
             )
         else:
             _inference(
                 field, params["fine"], "fine", xyz_fine, z_fine, dirs,
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
+                occ_grid,
             )
 
     for typ in ("coarse", "fine"):
