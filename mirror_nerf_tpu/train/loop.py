@@ -141,6 +141,9 @@ class Trainer:
         n_rays = len(dataset.all_rays) if hasattr(dataset, "all_rays") else len(
             dataset)
         self.steps_per_epoch = max(n_rays // cfg.batch_size, 1)
+        from .optim import make_lr_schedule
+
+        self.lr_schedule = make_lr_schedule(cfg, self.steps_per_epoch)
         self.tx = make_optimizer(cfg, self.steps_per_epoch)
         opt_state = self.tx.init(params)
 
@@ -285,6 +288,7 @@ class Trainer:
             self.global_step += 1
             if s % log_every == 0 or s == n_steps - 1:
                 last_aux = {k: float(v) for k, v in aux.items()}
+                last_aux["lr"] = float(self.lr_schedule(self.global_step))
                 self._log({"epoch": epoch, "step": self.global_step,
                            "stage": "geometry" if geometry_stage else "full",
                            **last_aux})
