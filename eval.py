@@ -38,6 +38,10 @@ def get_opt(argv=None):
     # -1 = auto: estimated from the test rays' actual sample occupancy
     parser.add_argument("--occ_frac_coarse", type=float, default=-1.0)
     parser.add_argument("--occ_frac_fine", type=float, default=-1.0)
+    # transmittance-based early termination of the fine pass (approximate:
+    # bounded by the coarse field; 0 = off)
+    parser.add_argument("--early_term_eps", type=float, default=0.0)
+    parser.add_argument("--early_term_frac", type=float, default=0.5)
     # applications
     parser.add_argument("--app_control_mirror_roughness", default=False,
                         action="store_true")

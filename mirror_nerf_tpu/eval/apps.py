@@ -396,6 +396,11 @@ class AppContext:
             reflect_objects=args.app_reflect_newly_placed_objects,
             near=cfg.near,
         )
+        if getattr(args, "early_term_eps", 0.0) > 0:
+            from dataclasses import replace as dc_replace
+
+            rs = dc_replace(rs, early_term_eps=args.early_term_eps,
+                            et_frac=args.early_term_frac)
         if getattr(args, "use_occupancy_grid", False):
             from dataclasses import replace as dc_replace
 

@@ -57,6 +57,12 @@ class RenderSettings:
     occupancy: object = None  # Optional[OccupancySpec]
     occ_frac_coarse: float = 0.25
     occ_frac_fine: float = 0.75
+    # transmittance-based early termination of the FINE pass (eval opt-in):
+    # fine samples whose coarse-pass transmittance bound is below eps skip
+    # field evaluation. Approximate (the coarse field bounds the fine one),
+    # off at 0. et_frac is the kept-sample capacity.
+    early_term_eps: float = 0.0
+    et_frac: float = 0.5
 
     @property
     def has_fine(self) -> bool:
@@ -103,15 +109,18 @@ def _inference(
     mirror_mask_per_ray,  # (N,) float GT mask (may carry -1 sentinel) or None
     gt_mask_valid,  # traced scalar bool or None
     occ_grid=None,  # (R,R,R) bool occupancy grid, or None
+    keep_flat=None,  # (N*S,) bool extra keep mask (early termination)
+    keep_frac: float = 1.0,
 ):
     N, S = z_vals.shape
     xyz_flat = xyz.reshape(-1, 3)
 
-    if (rs.occupancy is not None and occ_grid is not None
-            and not rs.compute_normal):
-        return _inference_occupancy(
+    use_occ = (rs.occupancy is not None and occ_grid is not None
+               and not rs.compute_normal)
+    if use_occ or (keep_flat is not None and not rs.compute_normal):
+        return _inference_compact(
             field, params, typ, xyz, z_vals, dirs, rng, rs, results,
-            sigma_only, occ_grid)
+            sigma_only, occ_grid if use_occ else None, keep_flat, keep_frac)
 
     if rs.compute_normal:
         sigma_flat, geo_flat, grad_flat = _density_with_grad(field, params, xyz_flat)
@@ -211,21 +220,29 @@ def _inference(
     return results
 
 
-def _inference_occupancy(field, params, typ, xyz, z_vals, dirs, rng, rs,
-                         results, sigma_only, occ_grid):
-    """Eval-path inference with empty-space skipping: field evaluation runs
-    only on samples inside occupied grid cells (fixed-capacity compaction,
-    see render/occupancy.py); skipped samples get exactly zero density."""
+def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
+                       results, sigma_only, occ_grid, keep_flat=None,
+                       keep_frac: float = 1.0):
+    """Eval-path inference that evaluates the field only on kept samples
+    (fixed-capacity compaction, see render/occupancy.py). The keep set is the
+    AND of the occupancy-grid lookup (if a grid is given) and an optional
+    caller mask (early termination); skipped samples get zero density."""
     from .occupancy import compact_apply, occupancy_lookup
 
     N, S = z_vals.shape
     m = N * S
     xyz_flat = xyz.reshape(-1, 3)
-    occ = occupancy_lookup(occ_grid, rs.occupancy, xyz_flat)
-    # stratified (coarse-count) passes are mostly empty space; merged
-    # importance passes concentrate at surfaces
-    is_fine_pass = S > rs.N_samples
-    frac = rs.occ_frac_fine if is_fine_pass else rs.occ_frac_coarse
+    frac = 1.0
+    occ = None
+    if occ_grid is not None:
+        occ = occupancy_lookup(occ_grid, rs.occupancy, xyz_flat)
+        # stratified (coarse-count) passes are mostly empty space; merged
+        # importance passes concentrate at surfaces
+        is_fine_pass = S > rs.N_samples
+        frac = rs.occ_frac_fine if is_fine_pass else rs.occ_frac_coarse
+    if keep_flat is not None:
+        occ = keep_flat if occ is None else (occ & keep_flat)
+        frac = min(frac, keep_frac)
     cap = min(max((int(m * frac) + 127) // 128 * 128, 128), m)
 
     if sigma_only:
@@ -329,6 +346,21 @@ def render_rays(
             k_pdf, z_vals, results["weights_coarse"], rs.N_importance, rs.perturb
         )
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_fine[..., None]
+
+        keep_flat = None
+        if rs.early_term_eps > 0 and not rs.compute_normal:
+            # transmittance bound from the coarse pass: fine samples deeper
+            # than where the coarse field is already opaque skip evaluation.
+            # One interval of safety margin (idx-1) keeps boundary samples.
+            w_c = results["weights_coarse"]
+            cum = jnp.concatenate(
+                [jnp.zeros_like(w_c[:, :1]), jnp.cumsum(w_c, axis=-1)], -1)
+            zc = results["z_vals_coarse"]
+            idx = jnp.sum(
+                (zc[:, None, :] <= z_fine[:, :, None]).astype(jnp.int32), -1)
+            t_bound = 1.0 - jnp.take_along_axis(
+                cum, jnp.maximum(idx - 1, 0), axis=-1)
+            keep_flat = (t_bound >= rs.early_term_eps).reshape(-1)
         if rs.fine_pass == "coarse":
             # only_one_field past warm-up: the *coarse* results are overwritten
             # by a second pass of the same field on the merged samples
@@ -336,13 +368,13 @@ def render_rays(
             _inference(
                 field, params["coarse"], "coarse", xyz_fine, z_fine, dirs,
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
-                occ_grid,
+                occ_grid, keep_flat, rs.et_frac,
             )
         else:
             _inference(
                 field, params["fine"], "fine", xyz_fine, z_fine, dirs,
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
-                occ_grid,
+                occ_grid, keep_flat, rs.et_frac,
             )
 
     for typ in ("coarse", "fine"):
