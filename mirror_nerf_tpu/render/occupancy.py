@@ -91,8 +91,8 @@ def occupancy_lookup(grid: jnp.ndarray, spec: OccupancySpec,
 
 
 def compact_apply(apply_fn, occ: jnp.ndarray, capacity: int, defaults,
-                  *point_arrays):
-    """Run `apply_fn` only on occupied points via cumsum-scatter compaction.
+                  *point_arrays, priority: jnp.ndarray = None):
+    """Run `apply_fn` only on occupied points via fixed-capacity compaction.
 
     Args:
       apply_fn: f(*compacted_arrays) -> tuple of (C, ...) outputs.
@@ -101,11 +101,21 @@ def compact_apply(apply_fn, occ: jnp.ndarray, capacity: int, defaults,
         fall back to `defaults` (conservative capacity avoids this).
       defaults: tuple of per-output fill values for skipped points.
       point_arrays: (M, ...) arrays to compact.
+      priority: optional (M,) scores. Without it, compaction is a
+        cumsum-scatter (no sort) and overflow drops the *last* points in
+        flat order — fine when capacity is conservative. With it, points are
+        ranked by descending priority so overflow degrades gracefully
+        (lowest-priority samples drop first).
     Returns:
       tuple of (M, ...) outputs (scattered back; skipped points = defaults).
     """
     m = occ.shape[0]
-    pos = jnp.cumsum(occ.astype(jnp.int32)) - 1  # slot for occupied points
+    if priority is not None:
+        order = jnp.argsort(-jnp.where(occ, priority, -jnp.inf))
+        pos = jnp.zeros(m, jnp.int32).at[order].set(
+            jnp.arange(m, dtype=jnp.int32))
+    else:
+        pos = jnp.cumsum(occ.astype(jnp.int32)) - 1  # slot for kept points
     valid = occ & (pos < capacity)
     slot = jnp.where(valid, pos, capacity)  # capacity = drop bucket
 

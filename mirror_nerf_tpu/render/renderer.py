@@ -111,6 +111,7 @@ def _inference(
     occ_grid=None,  # (R,R,R) bool occupancy grid, or None
     keep_flat=None,  # (N*S,) bool extra keep mask (early termination)
     keep_frac: float = 1.0,
+    priority_flat=None,  # (N*S,) float keep priority (overflow ordering)
 ):
     N, S = z_vals.shape
     xyz_flat = xyz.reshape(-1, 3)
@@ -120,7 +121,8 @@ def _inference(
     if use_occ or (keep_flat is not None and not rs.compute_normal):
         return _inference_compact(
             field, params, typ, xyz, z_vals, dirs, rng, rs, results,
-            sigma_only, occ_grid if use_occ else None, keep_flat, keep_frac)
+            sigma_only, occ_grid if use_occ else None, keep_flat, keep_frac,
+            priority_flat)
 
     if rs.compute_normal:
         sigma_flat, geo_flat, grad_flat = _density_with_grad(field, params, xyz_flat)
@@ -222,7 +224,7 @@ def _inference(
 
 def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
                        results, sigma_only, occ_grid, keep_flat=None,
-                       keep_frac: float = 1.0):
+                       keep_frac: float = 1.0, priority_flat=None):
     """Eval-path inference that evaluates the field only on kept samples
     (fixed-capacity compaction, see render/occupancy.py). The keep set is the
     AND of the occupancy-grid lookup (if a grid is given) and an optional
@@ -250,7 +252,8 @@ def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
             sigma, _ = field.density(params, xc)
             return (sigma,)
 
-        (sigmas,) = compact_apply(fn, occ, cap, (-1e10,), xyz_flat)
+        (sigmas,) = compact_apply(fn, occ, cap, (-1e10,), xyz_flat,
+                                  priority=priority_flat)
         pred_normals = is_mirrors = rgbs = None
     else:
         dirs_flat = jnp.repeat(dirs, S, axis=0)
@@ -271,7 +274,7 @@ def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
         if field.predict_mirror_mask:
             defaults.append(0.0)
         outs = compact_apply(fn, occ, cap, tuple(defaults), xyz_flat,
-                             dirs_flat)
+                             dirs_flat, priority=priority_flat)
         it = iter(outs)
         sigmas = next(it)
         rgbs = next(it).reshape(N, S, 3)
@@ -361,6 +364,7 @@ def render_rays(
             t_bound = 1.0 - jnp.take_along_axis(
                 cum, jnp.maximum(idx - 1, 0), axis=-1)
             keep_flat = (t_bound >= rs.early_term_eps).reshape(-1)
+            keep_priority = t_bound.reshape(-1)
         if rs.fine_pass == "coarse":
             # only_one_field past warm-up: the *coarse* results are overwritten
             # by a second pass of the same field on the merged samples
@@ -369,12 +373,14 @@ def render_rays(
                 field, params["coarse"], "coarse", xyz_fine, z_fine, dirs,
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
                 occ_grid, keep_flat, rs.et_frac,
+                keep_priority if keep_flat is not None else None,
             )
         else:
             _inference(
                 field, params["fine"], "fine", xyz_fine, z_fine, dirs,
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
                 occ_grid, keep_flat, rs.et_frac,
+                keep_priority if keep_flat is not None else None,
             )
 
     for typ in ("coarse", "fine"):
