@@ -103,11 +103,15 @@ def merge_fine_z_vals(
     weights: jnp.ndarray,  # (N, S) coarse compositing weights
     N_importance: int,
     perturb: float,
-) -> jnp.ndarray:
+    return_origin: bool = False,
+):
     """Coarse+fine merged, sorted depth samples, (N, S+N_importance).
 
     The PDF uses the *interior* coarse weights with gradients stopped, exactly
-    like the reference (`rendering.py:312-326,351-356`).
+    like the reference (`rendering.py:312-326,351-356`). With
+    `return_origin`, also returns a bool array marking which merged samples
+    came from the importance draw (used by early termination, which must
+    never skip importance samples).
     """
     z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
     z_fine = sample_pdf(
@@ -117,4 +121,13 @@ def merge_fine_z_vals(
         N_importance,
         det=(perturb == 0.0),
     )
-    return jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+    merged = jnp.concatenate([z_vals, z_fine], axis=-1)
+    if not return_origin:
+        return jnp.sort(merged, axis=-1)
+    order = jnp.argsort(merged, axis=-1)
+    origin = jnp.concatenate(
+        [jnp.zeros_like(z_vals, jnp.bool_),
+         jnp.ones_like(z_fine, jnp.bool_)], axis=-1)
+    z_sorted = jnp.take_along_axis(merged, order, axis=-1)
+    origin_sorted = jnp.take_along_axis(origin, order, axis=-1)
+    return z_sorted, origin_sorted

@@ -345,16 +345,19 @@ def render_rays(
     )
 
     if rs.has_fine:
-        z_fine = merge_fine_z_vals(
-            k_pdf, z_vals, results["weights_coarse"], rs.N_importance, rs.perturb
+        z_fine, pdf_origin = merge_fine_z_vals(
+            k_pdf, z_vals, results["weights_coarse"], rs.N_importance,
+            rs.perturb, return_origin=True,
         )
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_fine[..., None]
 
         keep_flat = None
         if rs.early_term_eps > 0 and not rs.compute_normal:
-            # transmittance bound from the coarse pass: fine samples deeper
-            # than where the coarse field is already opaque skip evaluation.
-            # One interval of safety margin (idx-1) keeps boundary samples.
+            # Early termination of the fine pass. Importance (PDF) samples
+            # are NEVER skipped — they sit where the surface is, and the
+            # fine field's surface can be deeper than the (blurrier) coarse
+            # field's. Only uniform-origin samples deeper than where the
+            # coarse transmittance collapses skip evaluation.
             w_c = results["weights_coarse"]
             cum = jnp.concatenate(
                 [jnp.zeros_like(w_c[:, :1]), jnp.cumsum(w_c, axis=-1)], -1)
@@ -363,8 +366,9 @@ def render_rays(
                 (zc[:, None, :] <= z_fine[:, :, None]).astype(jnp.int32), -1)
             t_bound = 1.0 - jnp.take_along_axis(
                 cum, jnp.maximum(idx - 1, 0), axis=-1)
-            keep_flat = (t_bound >= rs.early_term_eps).reshape(-1)
-            keep_priority = t_bound.reshape(-1)
+            keep = pdf_origin | (t_bound >= rs.early_term_eps)
+            keep_flat = keep.reshape(-1)
+            keep_priority = jnp.where(pdf_origin, 2.0, t_bound).reshape(-1)
         if rs.fine_pass == "coarse":
             # only_one_field past warm-up: the *coarse* results are overwritten
             # by a second pass of the same field on the merged samples
