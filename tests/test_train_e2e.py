@@ -151,3 +151,31 @@ def test_multichip_step_runs_on_virtual_mesh(scene, cfg, tmp_path):
     # params replicated on every device
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_sharded_eval_render_matches_single_device(scene, cfg):
+    """render_image_chunked over an 8-device mesh == single-device pixels."""
+    from mirror_nerf_tpu.models.fields import MirrorNeRFField
+    from mirror_nerf_tpu.render.renderer import RenderSettings
+    from mirror_nerf_tpu.render.tracer import TraceSettings
+
+    field = MirrorNeRFField(N_emb_xyz=4, N_emb_dir=2, depth=3, width=32,
+                            skips=(1,))
+    params = {"coarse": field.init(jax.random.PRNGKey(0)),
+              "fine": field.init(jax.random.PRNGKey(1))}
+    val = BlenderDataset(scene, "val", cfg.img_wh, cfg)
+    sample = val.get_image(0)
+    rs = RenderSettings(N_samples=8, N_importance=8, perturb=0.0,
+                        noise_std=0.0, compute_normal=False, test_time=True)
+    ts = TraceSettings(render=rs, trace_secondary_rays=True,
+                       max_recursive_level=1, only_trace_mode="eval",
+                       is_eval=False)
+    kwargs = dict(rng=jax.random.PRNGKey(0), ts=ts, chunk=192,
+                  keys=("rgb_fine",))
+    single = render_image_chunked(field, params, sample["rays"],
+                                  sample["mirror_mask"], **kwargs)
+    sharded = render_image_chunked(field, params, sample["rays"],
+                                   sample["mirror_mask"], mesh=get_mesh(8),
+                                   **kwargs)
+    np.testing.assert_allclose(sharded["rgb_fine"], single["rgb_fine"],
+                               atol=1e-5)
