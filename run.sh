@@ -1,131 +1,72 @@
 #!/usr/bin/env bash
-# Mode dispatcher with the same surface as the reference run.sh:
+# Mode dispatcher with the reference-compatible surface:
 #   bash run.sh {MODE} {DEVICES}
-#   MODE 0=train, 1=NVS eval, 2=mesh, 3=place new mirror,
-#        4=reflect new objects, 5=roughness, 52=time-varying roughness,
-#        6=reflection substitution
-# Scene presets mirror the reference's (run.sh:8-75). DEVICES is accepted for
-# CLI parity; device selection on TPU comes from the JAX runtime.
+# MODE: 0 train | 1 NVS eval | 2 mesh | 3 place new mirror |
+#       4 reflect new objects | 5 roughness | 52 time-varying roughness |
+#       6 reflection substitution
+# DEVICES is accepted for CLI parity; on TPU device selection comes from the
+# JAX runtime. Edit SCENE below (or export SCENE=...) to pick a preset.
+set -u
+MODE=${1:-0}
+DEVICES=${2:-0}
 
-MODE=$1
-DEVICES=$2
+SCENE=${SCENE:-livingroom}
+MODEL_TYPE=${MODEL_TYPE:-nerf}   # nerf | nerf_tcnn (hash-grid speed path)
 
-MODEL_TYPE="nerf"
-# MODEL_TYPE="nerf_tcnn"  # hash-grid + SH model (bf16-capable) for speedup
+# scene presets: name -> "dataset_name dir near far img_w img_h bound"
+declare -A PRESETS=(
+  [livingroom]="blender ../datasets/synthetic/livingroom 0.05 8.0 400 300 6"
+  [washroom]="blender ../datasets/synthetic/washroom 0.05 6.0 400 400 6"
+  [office]="blender ../datasets/synthetic/office 0.05 6.0 400 400 6"
+  [discussion_room]="real_arkit ../datasets/real/discussion_room 0.05 6.0 480 360 6"
+  [market]="real_arkit ../datasets/real/market 0.05 10.0 480 360 8"
+  [lounge]="real_arkit ../datasets/real/lounge 0.05 8.0 480 360 6"
+  [mirror_room_demo]="blender ./scene 0.05 12.0 96 96 6"  # procedural demo
+)
+read -r DATASET_NAME DATA_DIR NEAR FAR IMG_W IMG_H BOUND <<< "${PRESETS[$SCENE]}"
 
-# synthetic scenes
-DATASET_NAME=blender
+if [ "$MODEL_TYPE" = nerf ]; then SCALE=$BOUND; else SCALE=1; fi
+EXP=${DATASET_NAME}_${SCENE}_res${IMG_W}_${MODEL_TYPE}
+CKPT=${CKPT:-logs/${LOG:-latest}/last.ckpt.npz}
 
-DATASET=livingroom
-TRAIN_SKIP_STEP=1
-VAL_IDX=0
-NEAR=0.05
-FAR=8.0
-IMAGE_W=400
-IMAGE_H=300
-BOUND=6
+MODEL_FLAGS=(--model_type "$MODEL_TYPE" --predict_normal --predict_mirror_mask
+             --trace_secondary_rays --bound "$BOUND")
+DATA_FLAGS=(--dataset_name "$DATASET_NAME" --root_dir "$DATA_DIR"
+            --near "$NEAR" --far "$FAR" --scale_factor "$SCALE"
+            --img_wh "$IMG_W" "$IMG_H")
+EVAL_FLAGS=("${DATA_FLAGS[@]}" "${MODEL_FLAGS[@]}" --N_importance 64
+            --ckpt_path "$CKPT" --chunk 16384 --val_idx "${VAL_IDX:-0}")
 
-# DATASET=washroom ; FAR=6.0 ; IMAGE_W=400 ; IMAGE_H=400
-# DATASET=office   ; FAR=6.0 ; IMAGE_W=400 ; IMAGE_H=400
-
-# real scenes
-# DATASET_NAME=real_arkit
-# DATASET=discussion_room ; FAR=6.0 ; IMAGE_W=480 ; IMAGE_H=360 ; BOUND=6
-# DATASET=market          ; FAR=10.0 ; IMAGE_W=480 ; IMAGE_H=360 ; BOUND=8
-# DATASET=lounge          ; FAR=8.0 ; IMAGE_W=480 ; IMAGE_H=360 ; BOUND=6
-
-if [[ $DATASET_NAME == "blender" ]]; then
-DATASET_DIR=../datasets/synthetic/${DATASET}
-elif [[ $DATASET_NAME == "real_arkit" ]]; then
-DATASET_DIR=../datasets/real/${DATASET}
-fi
-
-EXP=${DATASET_NAME}_${DATASET}_skip${TRAIN_SKIP_STEP}_res${IMAGE_W}_${MODEL_TYPE}
-
-# # To evaluate a checkpoint:
-# LOG=xxx
-# CKPT_PATH=logs/$LOG/last.ckpt.npz
-# SUBSTITUTION_CKPT_PATH=logs/xxx/last.ckpt.npz
-# OBJ_CKPT_PATH=D-NeRF/logs/jumpingjacks/800000.tar
-
-if [[ $MODEL_TYPE == "nerf" ]]; then
-SCALE_FACTOR=$BOUND
-else
-SCALE_FACTOR=1
-fi
-
-COMMON_EVAL="--val_idx $VAL_IDX --root_dir $DATASET_DIR --near $NEAR --far $FAR \
- --scale_factor $SCALE_FACTOR --dataset_name $DATASET_NAME \
- --img_wh $IMAGE_W $IMAGE_H --N_importance 64 --ckpt_path $CKPT_PATH \
- --bound $BOUND --model_type $MODEL_TYPE \
- --predict_normal --predict_mirror_mask --trace_secondary_rays --chunk 16384"
-
-if [ "$MODE" = 1 ]; then
-SPLIT=test
-python eval.py --split $SPLIT --max_recursive_level 2 \
-  --exp_name ${SPLIT}_$LOG $COMMON_EVAL
-
-elif [ "$MODE" = 2 ]; then
-python extract_color_mesh.py \
-  --root_dir $DATASET_DIR --near $NEAR --far $FAR \
-  --scale_factor $SCALE_FACTOR --dataset_name $DATASET_NAME --exp_name $LOG \
-  --img_wh $IMAGE_W $IMAGE_H --N_importance 64 --ckpt_path $CKPT_PATH \
-  --bound $BOUND --model_type $MODEL_TYPE \
-  --predict_normal --predict_mirror_mask --trace_secondary_rays \
-  --x_range -0.15 0.15 --y_range -0.15 0.15 --z_range -0.15 0.15
-
-elif [ "$MODE" = 3 ]; then
-SPLIT=test
-PLANE_POS=plane_x
-python eval.py --split $SPLIT --max_recursive_level 50 \
-  --app_place_new_mirror --plane_pos $PLANE_POS \
-  --exp_name app_place_new_mirror_${PLANE_POS}_${SPLIT}_$LOG $COMMON_EVAL
-
-elif [ "$MODE" = 4 ]; then
-SPLIT=test_toward_mirror
-python eval.py --split $SPLIT \
-  --app_reflect_newly_placed_objects --obj_ckpt_path $OBJ_CKPT_PATH \
-  --exp_name reflect_newly_placed_objects_${SPLIT}_$LOG $COMMON_EVAL
-
-elif [ "$MODE" = 5 ]; then
-trace_ray_times=64
-normal_noise_std=0.0025
-SPLIT=test_toward_mirror
-python eval.py --split $SPLIT \
-  --app_control_mirror_roughness --trace_ray_times $trace_ray_times \
-  --normal_noise_std $normal_noise_std \
-  --exp_name app_control_mirror_roughness_Trace${trace_ray_times}_std${normal_noise_std}_${SPLIT}_$LOG \
-  $COMMON_EVAL
-
-elif [ "$MODE" = 52 ]; then
-trace_ray_times=64
-normal_noise_std=0.01
-SPLIT=test_toward_mirror
-python eval.py --split $SPLIT \
-  --app_control_mirror_roughness --trace_ray_times $trace_ray_times \
-  --normal_noise_std $normal_noise_std --normal_noise_std_changes \
-  --exp_name app_control_mirror_roughness_Trace${trace_ray_times}_std${normal_noise_std}_change_${SPLIT}_$LOG \
-  $COMMON_EVAL
-
-elif [ "$MODE" = 6 ]; then
-SPLIT=test_toward_mirror
-python eval.py --split $SPLIT \
-  --app_reflection_substitution --substitution_ckpt_path $SUBSTITUTION_CKPT_PATH \
-  --exp_name reflection_substitution_${SPLIT}_${LOG} $COMMON_EVAL
-
-else
-python train.py \
-  --dataset_name $DATASET_NAME --root_dir $DATASET_DIR \
-  --near $NEAR --far $FAR --scale_factor $SCALE_FACTOR \
-  --N_importance 64 --img_wh $IMAGE_W $IMAGE_H --noise_std 1 \
-  --num_epochs 30 --batch_size 1024 \
-  --optimizer adam --lr 5e-4 \
-  --lr_scheduler steplr --decay_step 2 4 8 --decay_gamma 0.5 \
-  --exp_name $EXP --bound $BOUND --model_type $MODEL_TYPE \
-  --predict_normal --predict_mirror_mask --trace_secondary_rays \
-  --train_geometry_stage --use_plane_consistent_loss \
-  --val_idx $VAL_IDX --train_skip_step $TRAIN_SKIP_STEP \
-  --chunk 8192 --only_trace_rays_in_mirrors
-fi
-
-# Usage: bash run.sh {MODE} {DEVICES}   e.g. train: bash run.sh 0 0
+case "$MODE" in
+  1)  python eval.py "${EVAL_FLAGS[@]}" --split "${SPLIT:-test}" \
+        --max_recursive_level 2 --exp_name "eval_${EXP}" ;;
+  2)  python extract_color_mesh.py "${DATA_FLAGS[@]}" "${MODEL_FLAGS[@]}" \
+        --N_importance 64 --ckpt_path "$CKPT" --exp_name "$EXP" \
+        --x_range -0.15 0.15 --y_range -0.15 0.15 --z_range -0.15 0.15 ;;
+  3)  python eval.py "${EVAL_FLAGS[@]}" --split "${SPLIT:-test}" \
+        --max_recursive_level 50 --app_place_new_mirror \
+        --plane_pos "${PLANE_POS:-plane_x}" \
+        --exp_name "app_new_mirror_${EXP}" ;;
+  4)  python eval.py "${EVAL_FLAGS[@]}" --split "${SPLIT:-test_toward_mirror}" \
+        --app_reflect_newly_placed_objects \
+        --obj_ckpt_path "${OBJ_CKPT:?set OBJ_CKPT=path/to/dnerf.tar}" \
+        --exp_name "app_objects_${EXP}" ;;
+  5)  python eval.py "${EVAL_FLAGS[@]}" --split "${SPLIT:-test_toward_mirror}" \
+        --app_control_mirror_roughness --trace_ray_times 64 \
+        --normal_noise_std 0.0025 --exp_name "app_roughness_${EXP}" ;;
+  52) python eval.py "${EVAL_FLAGS[@]}" --split "${SPLIT:-test_toward_mirror}" \
+        --app_control_mirror_roughness --trace_ray_times 64 \
+        --normal_noise_std 0.01 --normal_noise_std_changes \
+        --exp_name "app_roughness_tv_${EXP}" ;;
+  6)  python eval.py "${EVAL_FLAGS[@]}" --split "${SPLIT:-test_toward_mirror}" \
+        --app_reflection_substitution \
+        --substitution_ckpt_path "${SUB_CKPT:?set SUB_CKPT=path/to/ckpt}" \
+        --exp_name "app_substitution_${EXP}" ;;
+  *)  python train.py "${DATA_FLAGS[@]}" "${MODEL_FLAGS[@]}" \
+        --N_importance 64 --noise_std 1 --num_epochs 30 --batch_size 1024 \
+        --optimizer adam --lr 5e-4 --lr_scheduler steplr \
+        --decay_step 2 4 8 --decay_gamma 0.5 --chunk 8192 \
+        --train_geometry_stage --use_plane_consistent_loss \
+        --only_trace_rays_in_mirrors --train_skip_step 1 \
+        --val_idx "${VAL_IDX:-0}" --exp_name "$EXP" ;;
+esac
