@@ -169,7 +169,8 @@ def _inference(
                 geo_for_mirror = geo_flat
             is_mirrors = field.mirror_head(params, geo_for_mirror).reshape(N, S)
 
-    noise = jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
+    noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
+             if rs.noise_std > 0 else jnp.zeros_like(sigmas))
     weights = _composite_weights(sigmas, z_vals, noise)
     weights_sum = jnp.sum(weights, axis=-1)
 
@@ -284,7 +285,8 @@ def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
             else None
 
     sigmas = sigmas.reshape(N, S)
-    noise = jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
+    noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
+             if rs.noise_std > 0 else jnp.zeros_like(sigmas))
     weights = _composite_weights(sigmas, z_vals, noise)
     weights_sum = jnp.sum(weights, axis=-1)
     results[f"weights_{typ}"] = weights
