@@ -110,6 +110,9 @@ class Config:
     # capacity — set below 1.0 only for scenes with small mirror fractions;
     # overflowing drops reflections from training and stalls the color loss
     compact_frac: float = 1.0
+    # rematerialize the traced render in the backward pass (trades ~1 extra
+    # forward for O(1) activation memory — enables larger train batches)
+    use_remat: bool = False
     seed: int = 1
     mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on one axis
     param_dtype: str = "float32"
@@ -211,6 +214,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
     # TPU-specific
     p.add_argument("--compact_frac", type=float, default=d.compact_frac)
+    p.add_argument("--use_remat", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--param_dtype", type=str, default=d.param_dtype)
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype)

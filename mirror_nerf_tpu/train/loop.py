@@ -210,8 +210,13 @@ class Trainer:
                     blackout & (mask > 0.5)[:, None], 0.0, rgbs)
             batch_in = {**batch, "rgbs": rgbs}
 
+            def _render(p, rays_, mask_, key_):
+                return trace_rays(field, p, rays_, mask_, key_, ts)
+
+            render = (jax.checkpoint(_render) if cfg.use_remat else _render)
+
             def loss_fn(p):
-                results = trace_rays(field, p, rays, mask, k_trace, ts)
+                results = render(p, rays, mask, k_trace)
                 loss, loss_dict = total_loss(ls, results, batch_in, k_loss)
                 if statics.gate_invalid_mask_steps:
                     # skip steps whose batch lacks GT masks in early epochs
