@@ -347,14 +347,23 @@ def render_rays(
     )
 
     if rs.has_fine:
-        z_fine, pdf_origin = merge_fine_z_vals(
-            k_pdf, z_vals, results["weights_coarse"], rs.N_importance,
-            rs.perturb, return_origin=True,
-        )
+        want_et = rs.early_term_eps > 0 and not rs.compute_normal
+        if want_et:
+            # early termination needs per-sample origin flags (argsort-based
+            # merge); the plain path keeps the cheaper jnp.sort lowering
+            z_fine, pdf_origin = merge_fine_z_vals(
+                k_pdf, z_vals, results["weights_coarse"], rs.N_importance,
+                rs.perturb, return_origin=True,
+            )
+        else:
+            z_fine = merge_fine_z_vals(
+                k_pdf, z_vals, results["weights_coarse"], rs.N_importance,
+                rs.perturb,
+            )
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_fine[..., None]
 
         keep_flat = None
-        if rs.early_term_eps > 0 and not rs.compute_normal:
+        if want_et:
             # Early termination of the fine pass. Importance (PDF) samples
             # are NEVER skipped — they sit where the surface is, and the
             # fine field's surface can be deeper than the (blurrier) coarse
