@@ -65,7 +65,9 @@ def main(cfg=None):
     train_ds = ds_cls(cfg.root_dir, "train", cfg.img_wh, cfg)
     val_ds = ds_cls(cfg.root_dir, "val", cfg.img_wh, cfg)
 
-    mesh = get_mesh()
+    # --num_gpus maps to the number of mesh devices (reference CLI parity);
+    # default uses every local device on the 1-D data axis
+    mesh = get_mesh(cfg.num_gpus if cfg.num_gpus > 1 else None)
     trainer = Trainer(cfg, train_ds, log_path, mesh=mesh, val_dataset=val_ds)
 
     tb = None
