@@ -125,47 +125,6 @@ class MirrorNeRFField:
         return sigmoid(
             self._lin(params["is_mirror"][1], h).astype(jnp.float32))[..., 0]
 
-    def heads(self, params: dict, geo_feat: jnp.ndarray, dirs: jnp.ndarray):
-        """All three heads with ONE matmul over the trunk features.
-
-        xyz_final (W→W), normal layer 1 (W→W/2) and mirror layer 1 (W→W/2)
-        each consume geo_feat; concatenating their weights makes the trunk
-        features stream from HBM once instead of three times. Exact same
-        math as the separate heads. Eval-path use only (no detach plumbing).
-        Returns (rgb, unit pred_normal or None, mirror prob or None).
-        """
-        W = self.width
-        geo = self._cast(geo_feat)
-        ws = [self._cast(params["xyz_final"]["w"])]
-        if self.predict_normal:
-            ws.append(self._cast(params["normal"][0]["w"]))
-        if self.predict_mirror_mask:
-            ws.append(self._cast(params["is_mirror"][0]["w"]))
-        combined = geo @ jnp.concatenate(ws, axis=1)
-        off = W
-        h_xyz = combined[:, :W] + self._cast(params["xyz_final"]["b"])
-        d = self._cast(posenc(dirs, self.N_emb_dir))
-        hd = relu(self._lin(params["dir_enc"],
-                            jnp.concatenate([h_xyz, d], axis=-1)))
-        rgb = sigmoid(self._lin(params["rgb"], hd).astype(jnp.float32))
-        normal = None
-        if self.predict_normal:
-            h_n = combined[:, off:off + W // 2] + self._cast(
-                params["normal"][0]["b"])
-            off += W // 2
-            from ..core.mathutil import l2_normalize
-
-            normal = l2_normalize(
-                self._lin(params["normal"][1], h_n).astype(jnp.float32))
-        mirror = None
-        if self.predict_mirror_mask:
-            h_m = leaky_relu(combined[:, off:off + W // 2] + self._cast(
-                params["is_mirror"][0]["b"]))
-            mirror = sigmoid(
-                self._lin(params["is_mirror"][1],
-                          h_m).astype(jnp.float32))[..., 0]
-        return rgb, normal, mirror
-
 
 def make_field(cfg) -> "MirrorNeRFField":
     """Build the field described by a Config (model_type dispatch)."""

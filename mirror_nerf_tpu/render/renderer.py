@@ -95,43 +95,6 @@ def _density_with_grad(field, params, xyz_flat):
     return sigma, geo, grad_x
 
 
-def _aggregate(field, typ, rs, results, rng, sigmas, z_vals, rgbs,
-               is_mirrors, pred_normals, normals, mirror_mask_per_ray,
-               gt_mask_valid, sigma_only):
-    """Compositing tail shared by the fused-heads path (no detach gating:
-    plain weights everywhere)."""
-    noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
-             if rs.noise_std > 0 else jnp.zeros_like(sigmas))
-    weights = _composite_weights(sigmas, z_vals, noise)
-    weights_sum = jnp.sum(weights, axis=-1)
-    results[f"weights_{typ}"] = weights
-    results[f"opacity_{typ}"] = weights_sum
-    results[f"z_vals_{typ}"] = z_vals
-    if sigma_only:
-        return results
-
-    rgb_map = jnp.sum(weights[..., None] * rgbs, axis=1)
-    depth_map = jnp.sum(weights * z_vals, axis=-1)
-    if rs.white_back:
-        rgb_map = rgb_map + (1.0 - weights_sum[:, None])
-    results[f"rgb_{typ}"] = rgb_map
-    results[f"depth_{typ}"] = depth_map
-    if is_mirrors is not None:
-        results[f"mirror_mask_{typ}"] = jnp.sum(weights * is_mirrors, axis=-1)
-    if normals is not None:
-        results[f"normal_{typ}"] = normals
-        results[f"surface_normal_grad_{typ}"] = jnp.sum(
-            normals * weights[..., None], axis=1)
-    if pred_normals is not None:
-        results[f"pred_normal_{typ}"] = pred_normals
-        results[f"surface_normal_{typ}"] = jnp.sum(
-            pred_normals * weights[..., None], axis=1)
-    if normals is not None and pred_normals is not None:
-        normal_dif = jnp.sum((normals - pred_normals) ** 2, axis=-1)
-        results[f"normal_dif_{typ}"] = jnp.sum(weights * normal_dif, axis=-1)
-    return results
-
-
 def _inference(
     field,
     params,
@@ -169,23 +132,6 @@ def _inference(
         normals = None
 
     sigmas = sigma_flat.reshape(N, S)
-
-    no_detach = not (rs.detach_density_for_normal_loss
-                     or rs.detach_density_for_mask_loss
-                     or rs.detach_density_outside_mirror_for_mask_loss)
-    from ..models.fields import MirrorNeRFField as _MNF
-
-    if (not sigma_only and no_detach and type(field) is _MNF):
-        # fused-heads path: the trunk features stream once for all heads
-        # (identical math and gradients when no detach gating is active)
-        dirs_flat = jnp.repeat(dirs, S, axis=0)
-        rgb_f, n_f, m_f = field.heads(params, geo_flat, dirs_flat)
-        rgbs = rgb_f.reshape(N, S, 3)
-        pred_normals = n_f.reshape(N, S, 3) if n_f is not None else None
-        is_mirrors = m_f.reshape(N, S) if m_f is not None else None
-        return _aggregate(field, typ, rs, results, rng, sigmas, z_vals,
-                          rgbs, is_mirrors, pred_normals, normals,
-                          mirror_mask_per_ray, gt_mask_valid, sigma_only)
 
     pred_normals = None
     if field.predict_normal:

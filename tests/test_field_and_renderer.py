@@ -284,25 +284,3 @@ class TestTracer:
         # detached: rgb-head grads only flow via... nothing (all rays mirror)
         assert rgb_det == 0.0
         assert rgb_free > 0.0
-
-
-class TestFusedHeads:
-    def test_fused_heads_match_separate(self, field, params, rng):
-        """The fused-heads path (no detach flags) must produce the same
-        values as the separate-heads path (forced via a detach flag, which
-        only gates gradients)."""
-        full_field = MirrorNeRFField()  # exact base class -> fused path
-        fp = {"coarse": full_field.init(jax.random.PRNGKey(0)),
-              "fine": full_field.init(jax.random.PRNGKey(1))}
-        rays = _make_rays(8)
-        rs_fused = RenderSettings(N_samples=8, N_importance=8, perturb=0.0,
-                                  noise_std=0.0, compute_normal=False)
-        rs_sep = RenderSettings(N_samples=8, N_importance=8, perturb=0.0,
-                                noise_std=0.0, compute_normal=False,
-                                detach_density_for_mask_loss=True)
-        a = render_rays(full_field, fp, rays, rng, rs_fused)
-        b = render_rays(full_field, fp, rays, rng, rs_sep)
-        for k in ("rgb_fine", "mirror_mask_fine", "surface_normal_fine",
-                  "depth_fine"):
-            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
-                                       atol=1e-5)
