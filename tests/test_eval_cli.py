@@ -122,3 +122,15 @@ def test_dnerf_field_renders():
         assert out["rgb"].shape == (n, 3)
         assert np.isfinite(np.asarray(out["rgb"])).all()
         assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+@pytest.mark.slow
+def test_eval_acceleration_flags(scene, ckpt, tmp_path):
+    """--use_occupancy_grid (auto estimate/disable) and --early_term_eps
+    wire through the CLI and produce a valid render."""
+    dir_name, base = _run_eval(
+        scene, ckpt, tmp_path,
+        extra=("--use_occupancy_grid", "--early_term_eps", "1e-4",
+               "--only_eval_idx", "0"))
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
