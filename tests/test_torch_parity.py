@@ -121,3 +121,53 @@ def test_heads_parity(pair):
     m_j = field.mirror_head(params, geo_j)
     np.testing.assert_allclose(np.asarray(n_j), n_t.numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(m_j), m_t.numpy(), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_full_size_checkpoint_mapping():
+    """The real published-checkpoint dimensions: 8x256 trunk, emb 10/4."""
+    import torch.nn as tnn
+
+    torch.manual_seed(1)
+    D_, W_ = 8, 256
+    IN_X, IN_D = 63, 27
+
+    class FullRef(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            for i in range(D_):
+                in_dim = IN_X if i == 0 else (W_ + IN_X if i == 4 else W_)
+                setattr(self, f"xyz_encoding_{i + 1}",
+                        tnn.Sequential(tnn.Linear(in_dim, W_), tnn.ReLU(True)))
+            self.xyz_encoding_final = tnn.Linear(W_, W_)
+            self.dir_encoding = tnn.Sequential(
+                tnn.Linear(W_ + IN_D, W_ // 2), tnn.ReLU(True))
+            self.sigma = tnn.Linear(W_, 1)
+            self.rgb = tnn.Sequential(tnn.Linear(W_ // 2, 3), tnn.Sigmoid())
+            self.normal_net = tnn.Sequential(
+                tnn.Linear(W_, W_ // 2), tnn.Linear(W_ // 2, 3))
+            self.is_mirror_net = tnn.Sequential(
+                tnn.Linear(W_, W_ // 2), tnn.LeakyReLU(inplace=True),
+                tnn.Linear(W_ // 2, 1), tnn.Sigmoid())
+
+        def density(self, xyz):
+            h0 = TorchRef.embed(xyz, 10)
+            h = h0
+            for i in range(D_):
+                if i == 4:
+                    h = torch.cat([h0, h], -1)
+                h = getattr(self, f"xyz_encoding_{i + 1}")(h)
+            return self.sigma(h)[..., 0], h
+
+    ref = FullRef().eval()
+    sd = {f"nerf_coarse.{k}": v for k, v in ref.state_dict().items()}
+    params = torch_mirror_nerf_to_params(sd, "nerf_coarse", depth=D_)
+    field = MirrorNeRFField()  # defaults = published architecture
+    x = np.random.default_rng(7).normal(size=(16, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        sig_t, geo_t = ref.density(torch.from_numpy(x))
+        m_t = ref.is_mirror_net(geo_t)[..., 0]
+    sig_j, geo_j = field.density(params, jnp.asarray(x))
+    m_j = field.mirror_head(params, geo_j)
+    np.testing.assert_allclose(np.asarray(sig_j), sig_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_j), m_t.numpy(), atol=1e-4)
