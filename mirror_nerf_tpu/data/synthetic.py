@@ -106,11 +106,15 @@ def lookat_pose(eye, target, up=(0.0, 1.0, 0.0)) -> np.ndarray:
 
 
 def camera_ring(n: int, radius: float = 1.3, height: float = 0.2,
-                center_z: float = 1.2) -> np.ndarray:
-    """Poses on an arc inside the room, all looking at the mirror wall."""
+                center_z: float = 1.2, phase: float = 0.0) -> np.ndarray:
+    """Poses on an arc inside the room, all looking at the mirror wall.
+
+    `phase` offsets the angular samples (in units of one sample step) so a
+    val/test ring interleaves between, rather than lands on, train poses.
+    """
     poses = []
     for k in range(n):
-        ang = (k / max(n, 1)) * 1.4 - 0.7  # sweep ±40° around the mirror axis
+        ang = ((k + phase) / max(n, 1)) * 1.4 - 0.7  # sweep ±40°
         eye = np.array([radius * np.sin(ang), height * np.sin(2.1 * k),
                         center_z + 0.35 * np.cos(ang)])
         target = np.array([0.35 * np.sin(ang * 0.5), 0.0, -HALF])
@@ -144,10 +148,15 @@ def generate_scene(
     # (blender.py:33-39); store camera_angle_x so that round-trips match.
     focal_at_this_res = 0.5 * W / np.tan(0.5 * camera_angle_x)
 
+    # Val/test stay on the train camera shell (same radius, interleaved
+    # angles) — the NVS protocol of the reference's real scenes, whose
+    # test_interpolation split slerps between train poses
+    # (real_arkit.py:170-200). Poses off the shell start in space no train
+    # ray ever traversed, where any NeRF's density is unconstrained fog.
     splits = {
         "train": camera_ring(n_train),
-        "val": camera_ring(n_val, radius=1.45, height=0.1),
-        "test": camera_ring(n_test, radius=1.5, height=0.15),
+        "val": camera_ring(n_val, radius=1.3, height=0.12, phase=0.41),
+        "test": camera_ring(n_test, radius=1.3, height=0.09, phase=0.23),
     }
     idx = 0
     for split, poses in splits.items():
