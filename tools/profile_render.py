@@ -84,7 +84,10 @@ def main(argv=None):
     agg = collections.Counter()
     for e in data.get("traceEvents", []):
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            agg[e["name"].split(".")[0][:55]] += e.get("dur", 0)
+            name = e["name"].split(".")[0][:55]
+            if name.startswith("jit_"):
+                continue  # parent span; children carry the op-level time
+            agg[name] += e.get("dur", 0)
     total = sum(agg.values())
     print(f"device busy total: {total / 1e3:.1f} ms over {args.iters} iters "
           f"({total / 1e3 / args.iters:.1f} ms/iter, chunk {args.chunk})")
