@@ -102,6 +102,9 @@ class Config:
     normal_reg_loss_weight: float = 0.1
     mirror_mask_loss_weight: float = 0.1
     plane_consistent_loss_weight: float = 0.1
+    # TPU extra (not in reference opt.py): mip-NeRF 360 distortion prior on
+    # the fine weights; suppresses fog floaters on sparse captures. 0 = off.
+    distortion_loss_weight: float = 0.0
 
     # --- TPU-specific additions (not in the reference surface) ---
     # capacity fraction for secondary-ray compaction when
@@ -211,6 +214,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--mirror_mask_loss_weight", type=float, default=d.mirror_mask_loss_weight)
     p.add_argument("--plane_consistent_loss_weight", type=float,
                    default=d.plane_consistent_loss_weight)
+    p.add_argument("--distortion_loss_weight", type=float,
+                   default=d.distortion_loss_weight)
 
     # TPU-specific
     p.add_argument("--compact_frac", type=float, default=d.compact_frac)

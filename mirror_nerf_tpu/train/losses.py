@@ -42,6 +42,8 @@ class LossSettings:
     normal_reg_loss_weight: float = 0.1
     mirror_mask_loss_weight: float = 0.1
     plane_consistent_loss_weight: float = 0.1
+    # opt-in floater suppression; 0 = exact reference loss set
+    distortion_loss_weight: float = 0.0
 
     train_geometry_stage: bool = False
     woMaskRGBtoBlack: bool = False
@@ -157,6 +159,39 @@ def plane_consistent_loss(
     return ls.plane_consistent_loss_weight * loss
 
 
+def distortion_loss(ls: LossSettings, results: dict) -> jnp.ndarray:
+    """Interval distortion prior on the fine weights (mip-NeRF 360, eq. 15).
+
+    Penalizes ray weight that is spread out along the ray, which is exactly
+    the failure mode of semi-transparent "fog floaters" parked between
+    train-ray corridors. NOT in the reference — opt-in via
+    --distortion_loss_weight (default 0 keeps exact reference behavior).
+
+    Computed in O(N) per ray with exclusive prefix sums over the sorted
+    sample positions instead of the N² pairwise matrix:
+        sum_ij w_i w_j |s_i - s_j| = 2 * sum_i w_i (s_i W_i - S_i)
+    where W_i = sum_{j<i} w_j and S_i = sum_{j<i} w_j s_j.
+    """
+    w = results.get("weights_fine")
+    z = results.get("z_vals_fine")
+    if w is None or z is None:
+        w = results.get("weights_coarse")
+        z = results.get("z_vals_coarse")
+    if w is None or z is None:
+        return None
+    # scale-free ray coordinate in [0, 1] (z_vals are sorted)
+    z0, z1 = z[:, :1], z[:, -1:]
+    s = (z - z0) / jnp.maximum(z1 - z0, 1e-8)
+    w = w.astype(jnp.float32)
+    s = s.astype(jnp.float32)
+    w_cum = jnp.cumsum(w, axis=-1) - w  # exclusive
+    ws_cum = jnp.cumsum(w * s, axis=-1) - w * s
+    bi = 2.0 * jnp.sum(w * (s * w_cum - ws_cum), axis=-1)
+    delta = jnp.diff(s, axis=-1, append=s[:, -1:])
+    intra = jnp.sum(w * w * delta, axis=-1) / 3.0
+    return ls.distortion_loss_weight * jnp.mean(bi + intra)
+
+
 def normal_reg_loss(ls: LossSettings, results: dict, batch: dict) -> jnp.ndarray:
     rays_d = batch["rays"][..., 3:6].reshape(-1, 3)
     valid = batch.get("valid_mask")
@@ -223,6 +258,11 @@ def total_loss(
         if v is not None:
             loss_dict["plane_consistent_loss"] = v
 
+    if ls.distortion_loss_weight > 0:
+        v = distortion_loss(ls, results)
+        if v is not None:
+            loss_dict["distortion_loss"] = v
+
     if ls.enable_normal_losses:
         v = normal_loss(ls, results, batch)
         if v is not None:
@@ -243,6 +283,7 @@ def make_loss_settings(cfg, train_geometry_stage: bool, epoch: int) -> LossSetti
         normal_reg_loss_weight=cfg.normal_reg_loss_weight,
         mirror_mask_loss_weight=cfg.mirror_mask_loss_weight,
         plane_consistent_loss_weight=cfg.plane_consistent_loss_weight,
+        distortion_loss_weight=cfg.distortion_loss_weight,
         train_geometry_stage=train_geometry_stage,
         woMaskRGBtoBlack=cfg.woMaskRGBtoBlack,
         normal_loss_only_inside_mirror=cfg.normal_loss_only_inside_mirror,

@@ -149,3 +149,55 @@ class TestNormalRegLoss:
         w = torch.from_numpy(results["weights_fine"])
         ref += float((torch.relu(n * rays_d[:, None, :]).sum(-1) * w).mean())
         np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+class TestDistortionLoss:
+    """Opt-in mip-NeRF 360 distortion prior (not in the reference)."""
+
+    def _inputs(self, seed=3):
+        rng = np.random.default_rng(seed)
+        w = rng.uniform(0, 0.2, (N, S)).astype(np.float32)
+        z = np.sort(rng.uniform(0.1, 4.0, (N, S)).astype(np.float32), axis=1)
+        return w, z
+
+    def test_cumsum_formula_matches_pairwise_oracle(self):
+        from mirror_nerf_tpu.train.losses import distortion_loss
+
+        w, z = self._inputs()
+        ls = LossSettings(distortion_loss_weight=1.0)
+        ours = float(distortion_loss(
+            ls, {"weights_fine": jnp.asarray(w), "z_vals_fine": jnp.asarray(z)}))
+        # O(S^2) oracle on normalized coordinates
+        s = (z - z[:, :1]) / np.maximum(z[:, -1:] - z[:, :1], 1e-8)
+        bi = np.einsum("ni,nj,nij->n", w, w, np.abs(s[:, :, None] - s[:, None, :]))
+        delta = np.diff(s, axis=1, append=s[:, -1:])
+        intra = (w * w * delta).sum(1) / 3.0
+        np.testing.assert_allclose(ours, float((bi + intra).mean()), rtol=1e-5)
+
+    def test_concentrated_weights_score_lower(self):
+        from mirror_nerf_tpu.train.losses import distortion_loss
+
+        _, z = self._inputs()
+        ls = LossSettings(distortion_loss_weight=1.0)
+        spread = np.full((N, S), 1.0 / S, np.float32)
+        peaked = np.zeros((N, S), np.float32)
+        peaked[:, S // 2] = 1.0
+        zs = jnp.asarray(z)
+        l_spread = float(distortion_loss(
+            ls, {"weights_fine": jnp.asarray(spread), "z_vals_fine": zs}))
+        l_peaked = float(distortion_loss(
+            ls, {"weights_fine": jnp.asarray(peaked), "z_vals_fine": zs}))
+        assert l_peaked < l_spread * 0.2
+
+    def test_schedule_wiring(self):
+        """total_loss includes the term iff the weight is positive."""
+        from mirror_nerf_tpu.train.losses import total_loss
+
+        w, z = self._inputs()
+        results, batch = _results(), _batch()
+        results["weights_fine"] = w
+        results["z_vals_fine"] = z
+        for weight, expect in ((0.0, False), (0.01, True)):
+            ls, jr, jb = _j(results, batch, distortion_loss_weight=weight)
+            _, comps = total_loss(ls, jr, jb, jax.random.PRNGKey(0))
+            assert ("distortion_loss" in comps) == expect
