@@ -53,6 +53,38 @@ def load_pytree(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def load_pytree_nonstrict(path: str, like, prefixes_to_ignore=()):
+    """Non-strict load, mirroring reference `utils/__init__.py:109-136`:
+    leaves present in the checkpoint (and not under an ignored prefix, and
+    shape-compatible) are taken from it; everything else keeps the value from
+    `like`. Extra checkpoint keys are silently dropped.
+    """
+    raw = np.load(path, allow_pickle=False)
+    # accept full train ckpts too: their param leaves live under "params/"
+    if any(k.startswith("params/") for k in raw.files):
+        data = {k[len("params/"):]: raw[k] for k in raw.files
+                if k.startswith("params/")}
+    else:
+        data = {k: raw[k] for k in raw.files}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    n_named = 0  # ckpt keys that name a model leaf (any shape)
+    for p, v in flat:
+        key = _path_str(p)
+        want = np.asarray(v)
+        if key in data:
+            n_named += 1
+        if (key in data and data[key].shape == want.shape
+                and not any(key.startswith(pre) or f"/{pre}" in f"/{key}"
+                            for pre in prefixes_to_ignore)):
+            leaves.append(data[key].astype(want.dtype))
+        else:
+            leaves.append(want)
+    if n_named == 0:
+        raise KeyError(f"checkpoint {path} shares no leaves with the model")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def save_train_ckpt(path: str, params, opt_state, step: int, epoch: int) -> None:
     save_pytree(path, {"params": params, "step": np.asarray(step),
                        "epoch": np.asarray(epoch), "opt": opt_state})

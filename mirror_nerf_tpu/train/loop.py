@@ -160,10 +160,13 @@ class Trainer:
             self.params = jax.device_put(self.params, rep)
             self.opt_state = jax.device_put(self.opt_state, rep)
         elif cfg.weight_path:
-            from .checkpoints import load_pytree
+            # non-strict, prefix-filtered (reference utils/__init__.py:126-136)
+            from .checkpoints import load_pytree_nonstrict
 
             self.params = jax.device_put(
-                load_pytree(cfg.weight_path, params), rep)
+                load_pytree_nonstrict(
+                    cfg.weight_path, params,
+                    prefixes_to_ignore=cfg.prefixes_to_ignore), rep)
 
         self._step_cache = {}
         self._metrics_path = os.path.join(workdir, "metrics.jsonl")

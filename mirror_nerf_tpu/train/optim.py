@@ -65,6 +65,44 @@ def make_lr_schedule(cfg, steps_per_epoch: int):
     return sched
 
 
+def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
+              slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead (Zhang et al. 2019) as a plain GradientTransformation.
+
+    Unlike `optax.lookahead`, this keeps the slow weights inside the
+    optimizer *state*, so callers pass ordinary param pytrees (no
+    `LookaheadParams` wrapper). Every `sync_period` steps the slow weights
+    take a `slow_step_size` step toward the fast weights and the fast
+    weights are reset onto them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        return {
+            "inner": inner.init(params),
+            "slow": jax.tree.map(jnp.asarray, params),
+            "step": jnp.zeros([], jnp.int32),
+        }
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "lookahead needs params"
+        inner_updates, inner_state = inner.update(updates, state["inner"],
+                                                  params)
+        step = state["step"] + 1
+        sync = (step % sync_period) == 0
+        fast = jax.tree.map(lambda p, u: p + u, params, inner_updates)
+        new_slow = jax.tree.map(
+            lambda s, f: jnp.where(sync, s + slow_step_size * (f - s), s),
+            state["slow"], fast)
+        final = jax.tree.map(
+            lambda u, p, s: jnp.where(sync, s - p, u),
+            inner_updates, params, new_slow)
+        return final, {"inner": inner_state, "slow": new_slow, "step": step}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     sched = make_lr_schedule(cfg, steps_per_epoch)
     if cfg.optimizer == "sgd":
@@ -78,7 +116,7 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     if cfg.optimizer == "radam":
         return optax.radam(sched)
     if cfg.optimizer == "ranger":
-        # ranger = RAdam + Lookahead
-        return optax.lookahead(optax.radam(sched), sync_period=6,
-                               slow_step_size=0.5)
+        # ranger = RAdam + Lookahead (reference utils/__init__.py:61-66)
+        return lookahead(optax.radam(sched), sync_period=6,
+                         slow_step_size=0.5)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")

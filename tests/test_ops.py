@@ -157,6 +157,44 @@ class TestSH:
         gram = (Y.T @ Y) / len(v) * 4 * np.pi
         np.testing.assert_allclose(gram, np.eye(16), atol=0.06)
 
+    def test_degrees_5_to_8(self):
+        """Recurrence path (deg>4) vs oracles, matching the reference CUDA
+        table's convention (shencoder.cu: real SH, CS phase, index l²+l+m)."""
+        rng = np.random.default_rng(1)
+        d = rng.normal(size=(64, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        dj = jnp.asarray(d, jnp.float32)
+        for deg in (5, 6, 7, 8):
+            assert sh_encode(dj, deg).shape == (64, deg ** 2)
+        out = np.asarray(sh_encode(dj, 8))
+        # first 16 columns must equal the validated closed-form deg-4 basis
+        np.testing.assert_allclose(out[:, :16], np.asarray(sh_encode(dj, 4)),
+                                   atol=2e-6)
+        # scipy oracle (sph_harm_y includes the CS phase) for every (l, m)
+        from scipy.special import sph_harm_y
+
+        x, y, z = d.T
+        theta, phi = np.arccos(np.clip(z, -1, 1)), np.arctan2(y, x)
+        for l in range(8):
+            for m in range(0, l + 1):
+                Y = sph_harm_y(l, m, theta, phi)
+                base = l * l + l
+                if m == 0:
+                    np.testing.assert_allclose(out[:, base], Y.real,
+                                               atol=5e-6)
+                else:
+                    s2 = np.sqrt(2)
+                    np.testing.assert_allclose(out[:, base + m], s2 * Y.real,
+                                               atol=5e-6)
+                    np.testing.assert_allclose(out[:, base - m], s2 * Y.imag,
+                                               atol=5e-6)
+
+    def test_degree_8_differentiable(self):
+        d = jnp.array([[0.3, -0.5, 0.81]])
+        d = d / jnp.linalg.norm(d)
+        g = jax.grad(lambda v: jnp.sum(sh_encode(v, 8) ** 2))(d)
+        assert np.isfinite(np.asarray(g)).all()
+
 
 class TestNGPField:
     def test_field_protocol_and_render(self, rng):

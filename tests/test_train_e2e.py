@@ -179,3 +179,74 @@ def test_sharded_eval_render_matches_single_device(scene, cfg):
                                    **kwargs)
     np.testing.assert_allclose(sharded["rgb_fine"], single["rgb_fine"],
                                atol=1e-5)
+
+
+class TestNonStrictLoading:
+    """--prefixes_to_ignore / partial-ckpt semantics (ref utils/__init__.py:126-136)."""
+
+    def _save(self, tmp_path, tree, name="w.npz"):
+        from mirror_nerf_tpu.train.checkpoints import save_pytree
+
+        p = str(tmp_path / name)
+        save_pytree(p, tree)
+        return p
+
+    def test_missing_and_extra_keys(self, tmp_path):
+        import numpy as np
+
+        from mirror_nerf_tpu.train.checkpoints import load_pytree_nonstrict
+
+        ckpt = {"coarse": {"w": np.ones((2, 2))},
+                "extra_head": {"w": np.ones((3,))}}
+        path = self._save(tmp_path, ckpt)
+        like = {"coarse": {"w": np.zeros((2, 2))},
+                "fine": {"w": np.zeros((2, 2))}}
+        out = load_pytree_nonstrict(path, like)
+        assert np.all(out["coarse"]["w"] == 1.0)  # loaded
+        assert np.all(out["fine"]["w"] == 0.0)    # kept from init
+
+    def test_prefix_ignored(self, tmp_path):
+        import numpy as np
+
+        from mirror_nerf_tpu.train.checkpoints import load_pytree_nonstrict
+
+        ckpt = {"coarse": {"w": np.ones((2, 2))},
+                "loss": {"scale": np.ones((1,))}}
+        path = self._save(tmp_path, ckpt)
+        like = {"coarse": {"w": np.zeros((2, 2))},
+                "loss": {"scale": np.zeros((1,))}}
+        out = load_pytree_nonstrict(path, like, prefixes_to_ignore=("loss",))
+        assert np.all(out["coarse"]["w"] == 1.0)
+        assert np.all(out["loss"]["scale"] == 0.0)  # ignored prefix
+
+    def test_shape_mismatch_keeps_init(self, tmp_path):
+        import numpy as np
+
+        from mirror_nerf_tpu.train.checkpoints import load_pytree_nonstrict
+
+        path = self._save(tmp_path, {"w": np.ones((4, 4))})
+        out = load_pytree_nonstrict(path, {"w": np.zeros((2, 2))},
+                                    prefixes_to_ignore=())
+        assert np.all(out["w"] == 0.0)
+
+    def test_train_ckpt_params_prefix(self, tmp_path):
+        import numpy as np
+
+        from mirror_nerf_tpu.train.checkpoints import (load_pytree_nonstrict,
+                                                       save_train_ckpt)
+
+        params = {"coarse": {"w": np.full((2, 2), 3.0)}}
+        p = str(tmp_path / "t.npz")
+        save_train_ckpt(p, params, {"mu": np.zeros((2, 2))}, step=5, epoch=1)
+        out = load_pytree_nonstrict(p, {"coarse": {"w": np.zeros((2, 2))}})
+        assert np.all(out["coarse"]["w"] == 3.0)
+
+    def test_no_overlap_raises(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from mirror_nerf_tpu.train.checkpoints import load_pytree_nonstrict
+
+        path = self._save(tmp_path, {"a": np.ones((2,))})
+        with pytest.raises(KeyError):
+            load_pytree_nonstrict(path, {"b": np.zeros((2,))})
