@@ -63,26 +63,10 @@ def ssim(pred: np.ndarray, gt: np.ndarray, window: int = 11,
     return float(np.mean(num / den))
 
 
-_LPIPS_CACHE = {}
-
-
 def lpips(pred: np.ndarray, gt: np.ndarray, weights_path: str = None) -> float:
-    """LPIPS(alex). Requires pretrained weights on disk; returns NaN if
+    """LPIPS(alex), forward in jnp (see `lpips_jax.py`). Requires pretrained
+    weights on disk (`weights_path` or $LPIPS_WEIGHTS); returns NaN if
     unavailable (the image has no network egress to fetch them)."""
-    import os
+    from .lpips_jax import lpips_from_file
 
-    weights_path = weights_path or os.environ.get("LPIPS_WEIGHTS", "")
-    if not weights_path or not os.path.exists(weights_path):
-        return float("nan")
-    try:
-        import torch
-
-        if "model" not in _LPIPS_CACHE:
-            _LPIPS_CACHE["model"] = torch.jit.load(weights_path).eval()
-        model = _LPIPS_CACHE["model"]
-        to_t = lambda x: torch.from_numpy(
-            np.asarray(x, np.float32).transpose(2, 0, 1)[None] * 2 - 1)
-        with torch.no_grad():
-            return float(model(to_t(pred), to_t(gt)).item())
-    except Exception:
-        return float("nan")
+    return lpips_from_file(pred, gt, weights_path)

@@ -57,3 +57,118 @@ def test_eval_metrics_tool(tmp_path):
     assert 25 < out["mean_psnr"] < 60
     assert 0.5 < out["mean_ssim"] <= 1.0
     assert np.isnan(out["mean_lpips"])  # no weights in this environment
+
+
+class TestLPIPSJax:
+    """jnp LPIPS(alex) forward vs a torch oracle built from the same
+    (synthesized) weights — validates the architecture without pretrained
+    data (ref tools/eval_metrics.py:25-32)."""
+
+    @staticmethod
+    def _synth_weights(seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        specs = [(64, 3, 11), (192, 64, 5), (384, 192, 3),
+                 (256, 384, 3), (256, 256, 3)]
+        w = {}
+        for i, (o, c, k) in enumerate(specs):
+            w[f"conv{i}/w"] = rng.normal(0, 0.08, (o, c, k, k)).astype("f4")
+            w[f"conv{i}/b"] = rng.normal(0, 0.05, (o,)).astype("f4")
+        for i, o in enumerate([64, 192, 384, 256, 256]):
+            w[f"lin{i}/w"] = rng.uniform(0, 0.1, (o,)).astype("f4")
+        return w
+
+    @staticmethod
+    def _torch_oracle(w, im0, im1):
+        import numpy as np
+        import torch
+        import torch.nn.functional as F
+
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(img):
+            x = torch.from_numpy(
+                np.asarray(img, "f4").transpose(2, 0, 1)[None]) * 2 - 1
+            h = (x - shift) / scale
+            taps = []
+            cfg = [(4, 2), (1, 2), (1, 1), (1, 1), (1, 1)]
+            for i, (s, p) in enumerate(cfg):
+                if i in (1, 2):
+                    h = F.max_pool2d(h, 3, stride=2)
+                h = F.conv2d(h, torch.from_numpy(w[f"conv{i}/w"]),
+                             torch.from_numpy(w[f"conv{i}/b"]),
+                             stride=s, padding=p)
+                h = F.relu(h)
+                taps.append(h)
+            return taps
+
+        with torch.no_grad():
+            t0, t1 = feats(im0), feats(im1)
+            total = 0.0
+            for i, (f0, f1) in enumerate(zip(t0, t1)):
+                n0 = f0 / (f0.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+                n1 = f1 / (f1.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+                lin = torch.from_numpy(w[f"lin{i}/w"]).view(1, -1, 1, 1)
+                total += ((n0 - n1).pow(2) * lin).sum(1).mean()
+            return float(total)
+
+    def test_matches_torch_oracle(self):
+        import numpy as np
+
+        from mirror_nerf_tpu.eval.lpips_jax import lpips_forward
+
+        rng = np.random.default_rng(1)
+        w = self._synth_weights()
+        im0 = rng.uniform(size=(64, 64, 3)).astype("f4")
+        im1 = np.clip(im0 + rng.normal(0, 0.1, im0.shape), 0, 1).astype("f4")
+        ours = lpips_forward(w, im0, im1)
+        ref = self._torch_oracle(w, im0, im1)
+        assert abs(ours - ref) < 1e-4 * max(abs(ref), 1e-3), (ours, ref)
+        assert ours > 0
+        assert abs(lpips_forward(w, im0, im0)) < 1e-7
+
+    def test_npz_and_torch_statedict_formats(self, tmp_path):
+        import numpy as np
+        import torch
+
+        from mirror_nerf_tpu.eval.lpips_jax import lpips_from_file
+
+        w = self._synth_weights()
+        rng = np.random.default_rng(2)
+        im0 = rng.uniform(size=(64, 64, 3)).astype("f4")
+        im1 = rng.uniform(size=(64, 64, 3)).astype("f4")
+
+        npz = str(tmp_path / "lpips.npz")
+        np.savez(npz, **w)
+        v_npz = lpips_from_file(im0, im1, npz)
+
+        feat_idx = (0, 3, 6, 8, 10)
+        sd = {}
+        for i, fi in enumerate(feat_idx):
+            sd[f"net.slice.features.{fi}.weight"] = torch.from_numpy(
+                w[f"conv{i}/w"])
+            sd[f"net.slice.features.{fi}.bias"] = torch.from_numpy(
+                w[f"conv{i}/b"])
+        for i in range(5):
+            sd[f"lin{i}.model.1.weight"] = torch.from_numpy(
+                w[f"lin{i}/w"].reshape(1, -1, 1, 1))
+        pt = str(tmp_path / "lpips.pth")
+        torch.save(sd, pt)
+        v_pt = lpips_from_file(im0, im1, pt)
+
+        assert np.isfinite(v_npz) and abs(v_npz - v_pt) < 1e-6
+
+    def test_tool_prints_lpips_with_weights(self, tmp_path):
+        import numpy as np
+
+        from mirror_nerf_tpu.eval.metrics import lpips
+
+        w = self._synth_weights()
+        npz = str(tmp_path / "lpips.npz")
+        np.savez(npz, **w)
+        rng = np.random.default_rng(3)
+        im = rng.uniform(size=(64, 64, 3)).astype("f4")
+        assert np.isfinite(lpips(im, 1 - im, weights_path=npz))
+        assert np.isnan(lpips(im, im, weights_path=None))
