@@ -272,15 +272,20 @@ def eval_trace(
     if compact:
         # fixed-capacity compaction of the secondary bundle — the reference
         # eval compacts to mirror rays at level >= 1 (eval.py:159,548); here
-        # the top-capacity rays by mask are gathered, traced, scattered back.
+        # mirror rays land in cumsum-assigned slots (no sort) and results
+        # scatter back; non-mirror rays are never traced (blend weight 0).
         cap = min(max((int(n * compact_frac) + 127) // 128 * 128, 128), n)
-        order = jnp.argsort(-mirror_mask)
-        idx = order[:cap]
-        sec_sub = _trace_bundle(secondary[idx])
+        keep = mirror_mask > 0.5
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        valid = keep & (pos < cap)
+        slot = jnp.where(valid, pos, cap)
+        buf = jnp.zeros((cap + 1,) + secondary.shape[1:], secondary.dtype)
+        sec_sub = _trace_bundle(buf.at[slot].set(secondary, mode="drop")[:cap])
+        pos_c = jnp.minimum(pos, cap - 1)
 
         def _expand(v):
-            out = jnp.zeros((n,) + v.shape[1:], v.dtype)
-            return out.at[idx].set(v)
+            mask = valid.reshape((n,) + (1,) * (v.ndim - 1))
+            return jnp.where(mask, v[pos_c], jnp.zeros((), v.dtype))
 
         sec = {k: _expand(v) for k, v in sec_sub.items()
                if k.startswith(("rgb_", "depth_"))}

@@ -60,15 +60,28 @@ class TraceSettings:
     is_eval: bool = False
     # Fixed-capacity compaction of secondary rays (the static-shape analog of
     # the reference's boolean compaction, train.py:250-252): at levels where
-    # only_in_mirrors holds, gather the compact_frac·N rays with the highest
-    # mirror mask, trace only those, scatter results back. Exact whenever the
-    # mirror-pixel count fits the capacity; 1.0 disables (trace everything).
+    # only_in_mirrors holds, pack the mirror rays into a compact_frac·N
+    # buffer with a cumsum-scatter (no sort), trace only those, scatter
+    # results back. Exact whenever the mirror-pixel count fits the capacity;
+    # 1.0 disables (trace everything).
     compact_frac: float = 1.0
+    # Also compact the level-0 secondary trace. The reference traces ALL
+    # level-0 secondaries (eval.py:159: only_in_mirrors starts at level 1) —
+    # but the blended rgb only consumes the secondary color where the mirror
+    # mask is 1, so compacting level 0 leaves the final rgb mathematically
+    # unchanged (the `_reflect` visualization buffers become mirror-only,
+    # like deeper levels already are). Big eval speedup: skips a full render
+    # of every non-mirror pixel's reflection.
+    compact_level0: bool = False
 
     def only_in_mirrors(self, level: int) -> bool:
         if self.only_trace_mode == "eval":
             return level >= 1
         return self.only_trace_rays_in_mirrors
+
+    def compact_at(self, level: int) -> bool:
+        return self.only_in_mirrors(level) or (level == 0 and
+                                               self.compact_level0)
 
     @property
     def select_type(self) -> str:
@@ -170,20 +183,35 @@ def trace_rays(
     )
 
     n = rays.shape[0]
-    compact = (ts.compact_frac < 1.0 and ts.only_in_mirrors(level)
+    compact = (ts.compact_frac < 1.0 and ts.compact_at(level)
                and int(n * ts.compact_frac) < n)
     if compact:
+        # Sort-free fixed-capacity compaction: mirror rays keep their flat
+        # order and land in a cumsum-assigned slot; everything else is never
+        # traced (its reflection is blended with weight 0 anyway). Exact as
+        # long as the mirror-ray count fits the capacity; overflow drops the
+        # last mirror rays in flat order.
         cap = min(max((int(n * ts.compact_frac) + 127) // 128 * 128, 128), n)
-        order = jnp.argsort(-jax.lax.stop_gradient(mirror_mask))
-        idx = order[:cap]
+        keep = jax.lax.stop_gradient(mirror_mask) > 0.5
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        valid = keep & (pos < cap)
+        slot = jnp.where(valid, pos, cap)  # cap = drop bucket
+
+        def _compact(arr):
+            buf = jnp.zeros((cap + 1,) + arr.shape[1:], arr.dtype)
+            return buf.at[slot].set(arr, mode="drop")[:cap]
+
         sec_sub = trace_rays(
-            field, params, secondary_rays[idx], mirror_mask_gt[idx], k_next,
-            ts, level=level + 1, mirror_mask_prev=mirror_mask[idx],
+            field, params, _compact(secondary_rays),
+            _compact(mirror_mask_gt), k_next, ts, level=level + 1,
+            mirror_mask_prev=_compact(mirror_mask),
         )
+        pos_c = jnp.minimum(pos, cap - 1)
 
         def _expand(v):
-            out = jnp.zeros((n,) + v.shape[1:], v.dtype)
-            return out.at[idx].set(v)
+            g = v[pos_c]
+            mask = valid.reshape((n,) + (1,) * (v.ndim - 1))
+            return jnp.where(mask, g, jnp.zeros((), v.dtype))
 
         sec = {k: _expand(v) for k, v in sec_sub.items()
                if k.startswith(("rgb_", "depth_"))}
