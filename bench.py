@@ -44,10 +44,12 @@ def main():
     o, d = get_rays(dirs, pose)
     rays_all = make_ray_buffer(o, d, 0.05, 8.0)
 
-    # bf16 MXU matmuls (params/σ/rgb stay fp32); deterministic sampling like
-    # the reference eval (perturb=0, eval.py:140-141); secondary bounces
-    # compacted to a 25% mirror-ray capacity (the static-shape analog of the
-    # reference's level>=1 boolean compaction, exact when mirror pixels fit).
+    # Fully-fused Pallas field kernel (bf16 MXU, fp32 accumulation);
+    # deterministic sampling like the reference eval (perturb=0,
+    # eval.py:140-141); secondary bounces compacted to a 25% mirror-ray
+    # capacity (the static-shape analog of the reference's level>=1 boolean
+    # compaction, exact when mirror pixels fit), including level 0
+    # (compact_level0 — exact for the final rgb, see render/tracer.py).
     field = MirrorNeRFField(predict_normal=True, predict_mirror_mask=True,
                             compute_dtype="bfloat16")
     params = {
@@ -56,10 +58,10 @@ def main():
     }
     rs = RenderSettings(N_samples=64, N_importance=64, perturb=0.0,
                         noise_std=0.0, test_time=True, compute_normal=False,
-                        fine_pass="fine")
+                        fine_pass="fine", fused_field=True)
     ts = TraceSettings(render=rs, trace_secondary_rays=True,
                        max_recursive_level=2, only_trace_mode="eval",
-                       is_eval=False, compact_frac=0.25)
+                       is_eval=False, compact_frac=0.25, compact_level0=True)
 
     # NOTE on methodology: on this TPU attachment, dispatch is asynchronous
     # and `block_until_ready` does not reliably synchronize; only a value

@@ -49,6 +49,13 @@ class MirrorNeRFField:
     def in_dir(self) -> int:
         return posenc_dim(3, self.N_emb_dir)
 
+    @property
+    def supports_fused(self) -> bool:
+        """Whether ops/pallas/fused_mlp.py can run this architecture
+        (embeddings fit the padded 128-lane inputs; MXU-aligned width)."""
+        return (self.in_xyz <= 128 and self.in_dir <= 128
+                and self.width % 128 == 0)
+
     # ---- params ----
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:

@@ -5,12 +5,27 @@ speed path imports tcnn, `models/mirror_nerf_tcnn.py:10`): the whole
 8×256-with-skip trunk plus σ / rgb / pred-normal / mirror heads execute in
 ONE kernel per point block. All weights (~0.7 MB bf16, padded to MXU-friendly
 shapes) stay resident in VMEM across the grid; activations never touch HBM —
-per sample only the embedded inputs stream in and 8 output channels stream
-out, removing the ~16 layer-activation HBM round-trips of the unfused path.
+per sample only the embedded inputs stream in and one 128-lane output row
+streams out, removing the ~16 layer-activation HBM round-trips of the unfused
+path.
 
-Numerics: bf16 operands on the MXU with fp32 accumulation; σ, rgb, normals,
-mirror prob emitted in fp32. Skip connections become *split matmuls*
-(XE @ W_a + H @ W_b) so no lane-dim concatenation is needed.
+Design notes (what makes this version fast where the round-1 kernel wasn't):
+  * Head outputs are LANE-PACKED AT WEIGHT-PACK TIME: the σ/rgb/normal/mirror
+    output matrices are padded into disjoint lanes of (·, 128) operands, so
+    the kernel's final row is a *sum of four matmuls* — no iota/where/roll
+    vector passes.
+  * The nonlinear epilogue (sigmoids, normal normalization) runs OUTSIDE the
+    kernel on the sliced (N, 8) columns — in-kernel it would burn VPU
+    transcendentals on 120 padding lanes.
+  * The block is processed as `spec.interleave` independent sub-tiles with
+    the layer loop outermost, so the Mosaic scheduler can overlap one
+    sub-tile's MXU matmul with the other's VPU bias+ReLU.
+  * Skip connections are split matmuls (XE @ W_a + H @ W_b): no lane-dim
+    concatenation.
+
+Numerics: bf16 operands on the MXU with fp32 accumulation; the packed output
+row is fp32. Inputs are bf16 — bit-identical to the unfused bf16 path, which
+also casts the fp32 positional encoding to bf16 before the first matmul.
 
 Forward-only (the eval/bench path); training keeps the autodiff XLA field.
 """
@@ -22,14 +37,13 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 XE_DIM = 128  # padded xyz-embedding lanes (63 real for N_emb_xyz=10)
 DE_DIM = 128  # padded dir-embedding lanes (27 real for N_emb_dir=4)
 OUT_DIM = 128  # padded output lanes (8 real: σ, rgb, normal, mirror)
-TILE = 1024  # points per grid step
+TILE = 1024  # default points per grid step
 
 
 @dataclass(frozen=True)
@@ -40,56 +54,72 @@ class FusedSpec:
     sigma_only: bool = False
     predict_normal: bool = True
     predict_mirror_mask: bool = True
+    tile: int = TILE
+    interleave: int = 1  # independent sub-tiles per grid step
+    # apply the nonlinear epilogue in-kernel: sigmoid on the rgb/mirror lanes,
+    # l2-normalization on the normal lanes (σ stays raw). The packed output
+    # row is then FINAL — callers composite on it directly, never slicing
+    # narrow columns out of the wide array (a narrow slice of a (B, 128)
+    # array re-reads every 128-lane tile; measured ~2.5 ms/GB each).
+    epilogue: bool = True
 
 
-def _pad_to(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
-    out = np.zeros((rows, cols), np.float32)
-    out[: a.shape[0], : a.shape[1]] = a
-    return out
+def _pad_to(a, rows: int, cols: int, row0: int = 0, col0: int = 0):
+    a = jnp.asarray(a, jnp.float32)
+    return jnp.pad(a, ((row0, rows - row0 - a.shape[0]),
+                       (col0, cols - col0 - a.shape[1])))
 
 
 def pack_params(params: dict, in_xyz: int = 63, in_dir: int = 27,
                 width: int = 256, depth: int = 8, skips=(4,),
                 dtype=jnp.bfloat16) -> dict:
-    """Pad/split a MirrorNeRFField param pytree for the fused kernel."""
+    """Pad/split/lane-pack a MirrorNeRFField param pytree for the fused
+    kernel. Pure jnp — safe to call inside jit (XLA hoists it for constant
+    params; for traced params it is ~1 MB of padding work per call)."""
     W = width
     packed = {}
-    g = lambda p: np.asarray(p, np.float32)
     # trunk: layer 0 consumes XE; skip layers are split into (XE, H) parts
-    packed["w0"] = _pad_to(g(params["trunk"][0]["w"]), XE_DIM, W)
-    packed["b0"] = _pad_to(g(params["trunk"][0]["b"])[None], 1, W)
+    packed["w0"] = _pad_to(params["trunk"][0]["w"], XE_DIM, W)
+    packed["b0"] = _pad_to(params["trunk"][0]["b"][None], 1, W)
     for i in range(1, depth):
-        w = g(params["trunk"][i]["w"])
+        w = jnp.asarray(params["trunk"][i]["w"], jnp.float32)
         if i in skips:
             packed[f"w{i}a"] = _pad_to(w[:in_xyz], XE_DIM, W)
             packed[f"w{i}b"] = _pad_to(w[in_xyz:], W, W)
         else:
             packed[f"w{i}"] = _pad_to(w, W, W)
-        packed[f"b{i}"] = _pad_to(g(params["trunk"][i]["b"])[None], 1, W)
-    packed["wsig"] = _pad_to(g(params["sigma"]["w"]), W, OUT_DIM)
-    packed["bsig"] = _pad_to(g(params["sigma"]["b"])[None], 1, OUT_DIM)
-    packed["wxf"] = _pad_to(g(params["xyz_final"]["w"]), W, W)
-    packed["bxf"] = _pad_to(g(params["xyz_final"]["b"])[None], 1, W)
-    wd = g(params["dir_enc"]["w"])  # (W + in_dir, W//2)
+        packed[f"b{i}"] = _pad_to(params["trunk"][i]["b"][None], 1, W)
+    # σ head: lane 0 of the packed output row
+    packed["wsig"] = _pad_to(params["sigma"]["w"], W, OUT_DIM)
+    # rgb path
+    packed["wxf"] = _pad_to(params["xyz_final"]["w"], W, W)
+    packed["bxf"] = _pad_to(params["xyz_final"]["b"][None], 1, W)
+    wd = jnp.asarray(params["dir_enc"]["w"], jnp.float32)  # (W + in_dir, W//2)
     packed["wda"] = _pad_to(wd[:W], W, W // 2)
     packed["wdb"] = _pad_to(wd[W:], DE_DIM, W // 2)
-    packed["bd"] = _pad_to(g(params["dir_enc"]["b"])[None], 1, W // 2)
-    packed["wrgb"] = _pad_to(g(params["rgb"]["w"]), W // 2, OUT_DIM)
-    packed["brgb"] = _pad_to(g(params["rgb"]["b"])[None], 1, OUT_DIM)
+    packed["bd"] = _pad_to(params["dir_enc"]["b"][None], 1, W // 2)
+    # rgb head: lanes 1..3
+    packed["wrgb"] = _pad_to(params["rgb"]["w"], W // 2, OUT_DIM, col0=1)
+    # packed output bias row (fp32): σ lane 0, rgb lanes 1:4, normal 4:7,
+    # mirror lane 7
+    bout = _pad_to(params["sigma"]["b"][None], 1, OUT_DIM)
+    bout = bout + _pad_to(params["rgb"]["b"][None], 1, OUT_DIM, col0=1)
     if "normal" in params:
-        packed["wn1"] = _pad_to(g(params["normal"][0]["w"]), W, W // 2)
-        packed["bn1"] = _pad_to(g(params["normal"][0]["b"])[None], 1, W // 2)
-        packed["wn2"] = _pad_to(g(params["normal"][1]["w"]), W // 2, OUT_DIM)
-        packed["bn2"] = _pad_to(g(params["normal"][1]["b"])[None], 1, OUT_DIM)
+        packed["wn1"] = _pad_to(params["normal"][0]["w"], W, W // 2)
+        packed["bn1"] = _pad_to(params["normal"][0]["b"][None], 1, W // 2)
+        packed["wn2"] = _pad_to(params["normal"][1]["w"], W // 2, OUT_DIM,
+                                col0=4)
+        bout = bout + _pad_to(params["normal"][1]["b"][None], 1, OUT_DIM,
+                              col0=4)
     if "is_mirror" in params:
-        packed["wm1"] = _pad_to(g(params["is_mirror"][0]["w"]), W, W // 2)
-        packed["bm1"] = _pad_to(g(params["is_mirror"][0]["b"])[None], 1,
-                                W // 2)
-        packed["wm2"] = _pad_to(g(params["is_mirror"][1]["w"]), W // 2,
-                                OUT_DIM)
-        packed["bm2"] = _pad_to(g(params["is_mirror"][1]["b"])[None], 1,
-                                OUT_DIM)
-    return {k: jnp.asarray(v, dtype if k.startswith("w") else jnp.float32)
+        packed["wm1"] = _pad_to(params["is_mirror"][0]["w"], W, W // 2)
+        packed["bm1"] = _pad_to(params["is_mirror"][0]["b"][None], 1, W // 2)
+        packed["wm2"] = _pad_to(params["is_mirror"][1]["w"], W // 2, OUT_DIM,
+                                col0=7)
+        bout = bout + _pad_to(params["is_mirror"][1]["b"][None], 1, OUT_DIM,
+                              col0=7)
+    packed["bout"] = bout
+    return {k: v.astype(dtype) if k.startswith("w") else v
             for k, v in packed.items()}
 
 
@@ -99,73 +129,75 @@ def _mm(a, w):
 
 def _kernel(spec: FusedSpec, names, xe_ref, de_ref, *w_refs):
     out_ref = w_refs[-1]
-    w = dict(zip(names, w_refs[:-1]))
+    w = {n: r[...] for n, r in zip(names, w_refs[:-1])}
     bf = jnp.bfloat16
+    P = spec.interleave
+    T2 = spec.tile // P
+    sub = lambda ref, j: ref[j * T2:(j + 1) * T2, :]
 
-    xe = xe_ref[...].astype(bf)
-    h = jnp.maximum(_mm(xe, w["w0"][...]) + w["b0"][...], 0.0).astype(bf)
+    # trunk — layer loop outermost so the P sub-tile chains interleave
+    xe = [sub(xe_ref, j) for j in range(P)]
+    h = [jnp.maximum(_mm(x, w["w0"]) + w["b0"], 0.0).astype(bf) for x in xe]
     for i in range(1, spec.depth):
         if i in spec.skips:
-            acc = _mm(xe, w[f"w{i}a"][...]) + _mm(h, w[f"w{i}b"][...])
+            acc = [_mm(xe[j], w[f"w{i}a"]) + _mm(h[j], w[f"w{i}b"])
+                   for j in range(P)]
         else:
-            acc = _mm(h, w[f"w{i}"][...])
-        h = jnp.maximum(acc + w[f"b{i}"][...], 0.0).astype(bf)
-
-    sigma_row = _mm(h, w["wsig"][...]) + w["bsig"][...]  # (T, OUT) col 0 real
+            acc = [_mm(h[j], w[f"w{i}"]) for j in range(P)]
+        h = [jnp.maximum(a + w[f"b{i}"], 0.0).astype(bf) for a in acc]
 
     if spec.sigma_only:
-        out_ref[...] = sigma_row
+        for j in range(P):
+            out = _mm(h[j], w["wsig"]) + w["bout"]
+            out_ref[j * T2:(j + 1) * T2, :] = out.astype(out_ref.dtype)
         return
 
-    de = de_ref[...].astype(bf)
-    xf = (_mm(h, w["wxf"][...]) + w["bxf"][...]).astype(bf)
-    hd = jnp.maximum(
-        _mm(xf, w["wda"][...]) + _mm(de, w["wdb"][...]) + w["bd"][...], 0.0
-    ).astype(bf)
-    rgb_row = jax.nn.sigmoid(_mm(hd, w["wrgb"][...]) + w["brgb"][...])
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, sigma_row.shape, 1)
-    out = jnp.where(cols == 0, sigma_row, 0.0)
-    out = out + jnp.where((cols >= 1) & (cols < 4),
-                          pltpu.roll(rgb_row, 1, 1), 0.0)
-
-    if spec.predict_normal:
-        hn = (_mm(h, w["wn1"][...]) + w["bn1"][...]).astype(bf)
-        n_row = _mm(hn, w["wn2"][...]) + w["bn2"][...]  # cols 0..2
-        # l2-normalize over the 3 real lanes
-        sq = n_row * n_row
-        # lanes >= 3 are zero-padded, so the row sum IS nx²+ny²+nz²
-        ssum = jnp.sum(sq, axis=1, keepdims=True)
-        inv = jax.lax.rsqrt(jnp.maximum(ssum, 1.1754944e-38))
-        n_unit = n_row * inv
-        out = out + jnp.where((cols >= 4) & (cols < 7),
-                              pltpu.roll(n_unit, 4, 1), 0.0)
-
-    if spec.predict_mirror_mask:
-        hm = _mm(h, w["wm1"][...]) + w["bm1"][...]
-        hm = jnp.where(hm >= 0, hm, 0.01 * hm).astype(bf)
-        m_row = jax.nn.sigmoid(_mm(hm, w["wm2"][...]) + w["bm2"][...])
-        out = out + jnp.where(cols == 7, pltpu.roll(m_row, 7, 1), 0.0)
-
-    out_ref[...] = out
+    de = [sub(de_ref, j) for j in range(P)]
+    for j in range(P):
+        xf = (_mm(h[j], w["wxf"]) + w["bxf"]).astype(bf)
+        hd = jnp.maximum(
+            _mm(xf, w["wda"]) + _mm(de[j], w["wdb"]) + w["bd"], 0.0
+        ).astype(bf)
+        out = _mm(h[j], w["wsig"]) + _mm(hd, w["wrgb"]) + w["bout"]
+        if spec.predict_normal:
+            hn = (_mm(h[j], w["wn1"]) + w["bn1"]).astype(bf)
+            out = out + _mm(hn, w["wn2"])
+        if spec.predict_mirror_mask:
+            hm = _mm(h[j], w["wm1"]) + w["bm1"]
+            hm = jnp.where(hm >= 0, hm, 0.01 * hm).astype(bf)
+            out = out + _mm(hm, w["wm2"])
+        if spec.epilogue:
+            lanes = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+            sigm = ((lanes >= 1) & (lanes < 4)) | (lanes == 7)
+            out = jnp.where(sigm, jax.nn.sigmoid(out), out)
+            if spec.predict_normal:
+                nm = (lanes >= 4) & (lanes < 7)
+                nsq = jnp.sum(jnp.where(nm, out * out, 0.0), axis=1,
+                              keepdims=True)
+                inv = jax.lax.rsqrt(jnp.maximum(nsq, 1.1920929e-07))
+                out = jnp.where(nm, out * inv, out)
+        out_ref[j * T2:(j + 1) * T2, :] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def fused_forward(packed: dict, xe: jnp.ndarray, de: jnp.ndarray,
                   spec: FusedSpec, interpret: bool = False):
-    """Run the fused field on embedded inputs.
+    """Run the fused field on embedded (bf16, lane-padded) inputs.
 
     Args:
       packed: pack_params output.
-      xe: (B, XE_DIM) padded xyz embedding (B multiple of TILE).
+      xe: (B, XE_DIM) padded xyz embedding (B multiple of spec.tile).
       de: (B, DE_DIM) padded dir embedding.
     Returns:
-      (B, OUT_DIM) fp32; col 0 σ, 1:4 rgb, 4:7 unit pred-normal, 7 mirror.
+      (B, OUT_DIM) bf16 packed rows: lane 0 raw σ, 1:4 rgb, 4:7 pred-normal,
+      7 mirror prob. With spec.epilogue (default) the sigmoids/normalization
+      are already applied and the rows are final; otherwise lanes 1:4 and 7
+      are logits and 4:7 unnormalized.
     """
     b = xe.shape[0]
-    assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
+    assert b % spec.tile == 0, f"batch {b} not a multiple of {spec.tile}"
     names = sorted(packed.keys())
-    grid = (b // TILE,)
+    grid = (b // spec.tile,)
     # weights: full arrays, same block each step (resident in VMEM)
     w_specs = [
         pl.BlockSpec(packed[n].shape, lambda i: (0, 0),
@@ -176,21 +208,75 @@ def fused_forward(packed: dict, xe: jnp.ndarray, de: jnp.ndarray,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, XE_DIM), lambda i: (i, 0),
+            pl.BlockSpec((spec.tile, XE_DIM), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, DE_DIM), lambda i: (i, 0),
+            pl.BlockSpec((spec.tile, DE_DIM), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((TILE, OUT_DIM), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((spec.tile, OUT_DIM), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, OUT_DIM), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, OUT_DIM), jnp.bfloat16),
         interpret=interpret,
     )(xe, de, *[packed[n] for n in names])
 
 
-def pad_batch(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
-    """Pad (B, C) to (ceil(B/TILE)*TILE, lanes)."""
+def pad_batch(x: jnp.ndarray, lanes: int, tile: int = TILE,
+              dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Pad (B, C) to (ceil(B/tile)*tile, lanes) and cast for the kernel."""
     b, c = x.shape
-    bp = (b + TILE - 1) // TILE * TILE
-    return jnp.pad(x, ((0, bp - b), (0, lanes - c)))
+    bp = (b + tile - 1) // tile * tile
+    return jnp.pad(x, ((0, bp - b), (0, lanes - c))).astype(dtype)
+
+
+def fused_packed_eval(field, params: dict, xyz: jnp.ndarray, dirs=None,
+                      sigma_only: bool = False, interpret: bool = None):
+    """Raw (N,3) coords [+ (N,3) unit dirs] -> (N, OUT_DIM) bf16 FINAL rows:
+    lane 0 raw σ, 1:4 rgb, 4:7 unit pred-normal, 7 mirror prob, rest zero.
+
+    The renderer's fused eval path composites directly on these rows (the
+    per-sample nonlinearities are already applied in-kernel), extracting
+    per-ray values only after the sample-axis reduction. Forward-only — do
+    not differentiate.
+    """
+    from ...models.embedding import posenc
+
+    if interpret is None:  # auto: interpreter off-TPU (CPU tests)
+        interpret = jax.default_backend() != "tpu"
+    n = xyz.shape[0]
+    spec = FusedSpec(
+        width=field.width, depth=field.depth, skips=tuple(field.skips),
+        sigma_only=sigma_only, predict_normal=field.predict_normal,
+        predict_mirror_mask=field.predict_mirror_mask,
+        tile=min(TILE, max(128, (n + 127) // 128 * 128)),
+    )
+    packed = pack_params(params, in_xyz=field.in_xyz, in_dir=field.in_dir,
+                         width=field.width, depth=field.depth,
+                         skips=tuple(field.skips))
+    xe = pad_batch(posenc(xyz, field.N_emb_xyz), XE_DIM, spec.tile)
+    if sigma_only:
+        de = jnp.zeros_like(xe[:, :DE_DIM])
+    else:
+        de = pad_batch(posenc(dirs, field.N_emb_dir), DE_DIM, spec.tile)
+    return fused_forward(packed, xe, de, spec, interpret=interpret)[:n]
+
+
+def fused_field_eval(field, params: dict, xyz: jnp.ndarray, dirs=None,
+                     sigma_only: bool = False, interpret: bool = None):
+    """Like fused_packed_eval but unpacked into separate arrays:
+      sigma_only: (sigma,)
+      else:       (sigma, rgb, unit pred_normal | None, mirror prob | None)
+
+    Matches MirrorNeRFField.density/color/normal_head/mirror_head composed,
+    within bf16 tolerance. Convenience/test API — the renderer uses the
+    packed form (column slices of a wide array re-read whole tiles).
+    """
+    out = fused_packed_eval(field, params, xyz, dirs, sigma_only, interpret)
+    sigma = out[:, 0].astype(jnp.float32)
+    if sigma_only:
+        return (sigma,)
+    rgb = out[:, 1:4].astype(jnp.float32)
+    normal = out[:, 4:7].astype(jnp.float32) if field.predict_normal else None
+    mirror = (out[:, 7].astype(jnp.float32) if field.predict_mirror_mask
+              else None)
+    return sigma, rgb, normal, mirror

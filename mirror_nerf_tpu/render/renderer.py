@@ -63,6 +63,10 @@ class RenderSettings:
     # off at 0. et_frac is the kept-sample capacity.
     early_term_eps: float = 0.0
     et_frac: float = 0.5
+    # run the field through the fully-fused Pallas kernel
+    # (ops/pallas/fused_mlp.py) — forward-only, so it engages only when the
+    # σ-gradient normal is off (eval/bench path). bf16 numerics.
+    fused_field: bool = False
 
     @property
     def has_fine(self) -> bool:
@@ -118,6 +122,12 @@ def _inference(
 
     use_occ = (rs.occupancy is not None and occ_grid is not None
                and not rs.compute_normal)
+    if (rs.fused_field and not rs.compute_normal
+            and getattr(field, "supports_fused", False)):
+        return _inference_fused(
+            field, params, typ, xyz, z_vals, dirs, rng, rs, results,
+            sigma_only, occ_grid if use_occ else None, keep_flat, keep_frac,
+            priority_flat)
     if use_occ or (keep_flat is not None and not rs.compute_normal):
         return _inference_compact(
             field, params, typ, xyz, z_vals, dirs, rng, rs, results,
@@ -307,6 +317,91 @@ def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
         results[f"pred_normal_{typ}"] = pred_normals
         results[f"surface_normal_{typ}"] = jnp.sum(
             pred_normals * weights[..., None], axis=1)
+    return results
+
+
+def _inference_fused(field, params, typ, xyz, z_vals, dirs, rng, rs,
+                     results, sigma_only, occ_grid=None, keep_flat=None,
+                     keep_frac: float = 1.0, priority_flat=None):
+    """Eval-path inference through the fully-fused Pallas field kernel.
+
+    The kernel emits one FINAL packed bf16 row per sample (lane 0 raw σ,
+    1:4 rgb, 4:7 unit pred-normal, 7 mirror prob — nonlinearities already
+    applied in-kernel), and compositing happens directly on the packed rows:
+    per-ray values are extracted only after the sample-axis reduction, so no
+    narrow columns are ever sliced out of the wide per-sample array (each
+    such slice re-reads whole 128-lane tiles from HBM).
+
+    Supports the same fixed-capacity sample compaction as
+    _inference_compact (occupancy grid and/or early-termination keep mask).
+    Forward-only; gated by the caller on rs.compute_normal == False.
+    """
+    from ..ops.pallas.fused_mlp import fused_packed_eval
+
+    N, S = z_vals.shape
+    m = N * S
+    xyz_flat = xyz.reshape(-1, 3)
+
+    keep = None
+    frac = 1.0
+    if occ_grid is not None:
+        from .occupancy import occupancy_lookup
+
+        keep = occupancy_lookup(occ_grid, rs.occupancy, xyz_flat)
+        frac = rs.occ_frac_fine if S > rs.N_samples else rs.occ_frac_coarse
+    if keep_flat is not None:
+        keep = keep_flat if keep is None else (keep & keep_flat)
+        frac = min(frac, keep_frac)
+
+    if keep is None:
+        if sigma_only:
+            rows = fused_packed_eval(field, params, xyz_flat, sigma_only=True)
+        else:
+            dirs_flat = jnp.repeat(dirs, S, axis=0)
+            rows = fused_packed_eval(field, params, xyz_flat, dirs_flat)
+    else:
+        from .occupancy import compact_apply
+
+        cap = min(max((int(m * frac) + 127) // 128 * 128, 128), m)
+        if sigma_only:
+            def fn(xc):
+                return (fused_packed_eval(field, params, xc,
+                                          sigma_only=True),)
+
+            (rows,) = compact_apply(fn, keep, cap, (0.0,), xyz_flat,
+                                    priority=priority_flat)
+        else:
+            dirs_flat = jnp.repeat(dirs, S, axis=0)
+
+            def fn(xc, dc):
+                return (fused_packed_eval(field, params, xc, dc),)
+
+            (rows,) = compact_apply(fn, keep, cap, (0.0,), xyz_flat,
+                                    dirs_flat, priority=priority_flat)
+        # dropped samples get σ = 0 -> α = 1 − exp(0) = 0: exactly empty
+
+    sigmas = rows[:, 0].astype(jnp.float32).reshape(N, S)
+    noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
+             if rs.noise_std > 0 else jnp.zeros_like(sigmas))
+    weights = _composite_weights(sigmas, z_vals, noise)
+    weights_sum = jnp.sum(weights, axis=-1)
+    results[f"weights_{typ}"] = weights
+    results[f"opacity_{typ}"] = weights_sum
+    results[f"z_vals_{typ}"] = z_vals
+    if sigma_only:
+        return results
+
+    # one fused multiply-reduce over the sample axis on the packed rows
+    pmap = jnp.sum(weights[..., None] * rows.reshape(N, S, -1), axis=1)
+    rgb_map = pmap[:, 1:4]
+    if rs.white_back:
+        rgb_map = rgb_map + (1.0 - weights_sum[:, None])
+    results[f"rgb_{typ}"] = rgb_map
+    results[f"depth_{typ}"] = jnp.sum(weights * z_vals, axis=-1)
+    if field.predict_mirror_mask:
+        results[f"mirror_mask_{typ}"] = pmap[:, 7]
+    if field.predict_normal:
+        results[f"surface_normal_{typ}"] = pmap[:, 4:7]
     return results
 
 

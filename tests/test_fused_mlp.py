@@ -19,48 +19,59 @@ from mirror_nerf_tpu.models.fields import MirrorNeRFField
 def setup():
     field = MirrorNeRFField(predict_normal=True, predict_mirror_mask=True)
     params = field.init(jax.random.PRNGKey(0))
-    xyz = jax.random.normal(jax.random.PRNGKey(1), (fm.TILE, 3)) * 0.5
-    dirs = jax.random.normal(jax.random.PRNGKey(2), (fm.TILE, 3))
+    n = 384  # not a multiple of TILE: exercises pad_batch + tile shrink
+    xyz = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 0.5
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-    packed = fm.pack_params(params)
-    xe = fm.pad_batch(posenc(xyz, 10), fm.XE_DIM)
-    de = fm.pad_batch(posenc(dirs, 4), fm.DE_DIM)
-    return field, params, xyz, dirs, packed, xe, de
+    return field, params, xyz, dirs
 
 
-@pytest.mark.slow
 def test_full_outputs_match_unfused(setup):
-    field, params, xyz, dirs, packed, xe, de = setup
-    out = fm.fused_forward(packed, xe, de, fm.FusedSpec(), interpret=True)
+    field, params, xyz, dirs = setup
+    sigma, rgb, normal, mirror = fm.fused_field_eval(
+        field, params, xyz, dirs, interpret=True)
     sigma_ref, geo = field.density(params, xyz)
     rgb_ref = field.color(params, geo, dirs)
     n_ref = l2_normalize(field.normal_head(params, geo))
     m_ref = field.mirror_head(params, geo)
     # bf16 operand tolerance
-    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(sigma_ref),
-                               atol=2e-3)
-    np.testing.assert_allclose(np.asarray(out[:, 1:4]), np.asarray(rgb_ref),
-                               atol=2e-3)
-    np.testing.assert_allclose(np.asarray(out[:, 4:7]), np.asarray(n_ref),
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
                                atol=5e-3)
-    np.testing.assert_allclose(np.asarray(out[:, 7]), np.asarray(m_ref),
-                               atol=2e-3)
-    # padding lanes untouched
-    np.testing.assert_allclose(np.asarray(out[:, 8:]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(normal), np.asarray(n_ref),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(mirror), np.asarray(m_ref),
+                               atol=5e-3)
 
 
-@pytest.mark.slow
 def test_sigma_only_variant(setup):
-    field, params, xyz, dirs, packed, xe, de = setup
-    out = fm.fused_forward(packed, xe, de, fm.FusedSpec(sigma_only=True),
-                           interpret=True)
+    field, params, xyz, dirs = setup
+    (sigma,) = fm.fused_field_eval(field, params, xyz, sigma_only=True,
+                                   interpret=True)
     sigma_ref, _ = field.density(params, xyz)
-    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(sigma_ref),
-                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref),
+                               atol=2e-2)
+
+
+def test_interleave_variants_match(setup):
+    field, params, xyz, dirs = setup
+    packed = fm.pack_params(params)
+    xe = fm.pad_batch(posenc(xyz, 10), fm.XE_DIM, 256)
+    de = fm.pad_batch(posenc(dirs, 4), fm.DE_DIM, 256)
+    outs = [
+        fm.fused_forward(packed, xe, de,
+                         fm.FusedSpec(tile=256, interleave=il),
+                         interpret=True)
+        for il in (1, 2)
+    ]
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
+                               atol=1e-5)
 
 
 def test_pack_params_shapes(setup):
-    _, params, _, _, packed, _, _ = setup
+    _, params, _, _ = setup
+    packed = fm.pack_params(params)
     assert packed["w0"].shape == (fm.XE_DIM, 256)
     assert packed["w4a"].shape == (fm.XE_DIM, 256)  # skip split: XE part
     assert packed["w4b"].shape == (256, 256)
@@ -69,11 +80,19 @@ def test_pack_params_shapes(setup):
     assert packed["wsig"].shape == (256, fm.OUT_DIM)
     assert all(v.dtype == jnp.bfloat16 for k, v in packed.items()
                if k.startswith("w"))
+    # head output lanes are disjoint: σ=0, rgb=1:4, normal=4:7, mirror=7
+    assert np.all(np.asarray(packed["wsig"], np.float32)[:, 1:] == 0)
+    assert np.all(np.asarray(packed["wrgb"], np.float32)[:, :1] == 0)
+    assert np.all(np.asarray(packed["wrgb"], np.float32)[:, 4:] == 0)
+    assert np.all(np.asarray(packed["wn2"], np.float32)[:, :4] == 0)
+    assert np.all(np.asarray(packed["wn2"], np.float32)[:, 7:] == 0)
+    assert np.all(np.asarray(packed["wm2"], np.float32)[:, :7] == 0)
 
 
 def test_pad_batch():
     x = jnp.ones((100, 63))
-    out = fm.pad_batch(x, fm.XE_DIM)
-    assert out.shape == (fm.TILE, fm.XE_DIM)
-    np.testing.assert_allclose(np.asarray(out[:100, :63]), 1.0)
-    np.testing.assert_allclose(np.asarray(out[100:, :]), 0.0)
+    out = fm.pad_batch(x, fm.XE_DIM, tile=128)
+    assert out.shape == (128, fm.XE_DIM)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out[:100, :63], np.float32), 1.0)
+    np.testing.assert_allclose(np.asarray(out[100:, :], np.float32), 0.0)
