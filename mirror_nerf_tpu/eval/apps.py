@@ -320,6 +320,18 @@ class AppContext:
     subst_params: Optional[dict] = None
     obj_render_fn: Optional[Callable] = None
     jit_cache: dict = None  # (compact_frac, has_noise) -> compiled trace
+    # SPMD eval: 1-D data mesh (reference --num_gpus DDP-eval analog,
+    # train.py:30). Rays are sharded over the data axis per chunk; params
+    # are replicated; XLA partitions the whole trace.
+    mesh: object = None
+
+    def put_batch(self, x):
+        """Device-put a leading-axis array, sharded when a mesh is set."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel.mesh import batch_sharding
+
+        return jax.device_put(jnp.asarray(x), batch_sharding(self.mesh))
 
     def traced(self, compact_frac: float, has_noise: bool):
         """One compiled eval trace per (capacity, noise) variant. frame_time
@@ -421,6 +433,11 @@ class AppContext:
             )
         ctx = cls(cfg=cfg, args=args, field=field, params=params, rs=rs,
                   app=app)
+        if cfg.num_gpus > 1:
+            from ..parallel.mesh import get_mesh, replicate
+
+            ctx.mesh = get_mesh(cfg.num_gpus)
+            ctx.params = replicate(ctx.mesh, ctx.params)
         if app.substitution:
             if not args.substitution_ckpt_path:
                 raise SystemExit("[Error] substitution_ckpt_path required "
@@ -617,6 +634,9 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
     rays_all = np.asarray(sample["rays"], np.float32)
     n = rays_all.shape[0]
     chunk = min(cfg.chunk, n)
+    if ctx.mesh is not None:  # sharded chunks must divide the data axis
+        ndev = ctx.mesh.devices.size
+        chunk = max(((chunk + ndev - 1) // ndev) * ndev, ndev)
 
     progress_cycle = progress * 2 if progress < 0.5 else 1 - (progress - 0.5) * 2
     noise_std = (args.normal_noise_std * progress_cycle
@@ -637,7 +657,8 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
     def run_chunk(rays_np, k, normal_noise=None):
         if normal_noise is None:
             normal_noise = jnp.zeros((rays_np.shape[0], 3), jnp.float32)
-        return traced(ctx.params, jnp.asarray(rays_np), k, ft, normal_noise)
+        return traced(ctx.params, ctx.put_batch(rays_np), k, ft,
+                      ctx.put_batch(normal_noise))
 
     # very large trace graphs can trip internal libtpu compiler bugs
     # (register-allocation RET_CHECKs); probe the first chunk and halve on
@@ -678,9 +699,9 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
                 kt = jax.random.fold_in(k, t)
                 noise = jax.random.normal(kt, (chunk, 3)) * noise_std
                 sec_rgb = np.asarray(bundle(
-                    ctx.params, jnp.asarray(base["secondary_rays_o"]),
-                    jnp.asarray(base["_normal_presmooth"]),
-                    jnp.asarray(r), noise, kt))
+                    ctx.params, ctx.put_batch(base["secondary_rays_o"]),
+                    ctx.put_batch(base["_normal_presmooth"]),
+                    ctx.put_batch(r), ctx.put_batch(noise), kt))
                 acc = sec_rgb if acc is None else acc + sec_rgb
             sec_mean = acc / (T + 1)
             m = base["mirror_mask_resolved"][:, None]

@@ -134,3 +134,26 @@ def test_eval_acceleration_flags(scene, ckpt, tmp_path):
                "--only_eval_idx", "0"))
     out = os.path.join(base, dir_name)
     assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+
+
+@pytest.mark.slow
+def test_eval_spmd_matches_single_device(scene, ckpt, tmp_path):
+    """--num_gpus 8 shards eval chunks over the virtual CPU mesh (the
+    reference's DDP-eval analog) and reproduces the single-device render."""
+    import json
+
+    (tmp_path / "one").mkdir()
+    (tmp_path / "eight").mkdir()
+    d1, b1 = _run_eval(scene, ckpt, tmp_path / "one",
+                       extra=("--only_eval_idx", "0",))
+    d8, b8 = _run_eval(scene, ckpt, tmp_path / "eight",
+                       extra=("--only_eval_idx", "0", "--num_gpus", "8"))
+    import imageio.v2 as imageio
+
+    a = imageio.imread(os.path.join(b1, d1, "rgb_fine_000.png"))
+    b = imageio.imread(os.path.join(b8, d8, "rgb_fine_000.png"))
+    np.testing.assert_allclose(a.astype(np.float32), b.astype(np.float32),
+                               atol=1.0)  # 8-bit quantization slack
+    p1 = json.load(open(os.path.join(b1, d1, "psnr.json")))
+    p8 = json.load(open(os.path.join(b8, d8, "psnr.json")))
+    assert abs(p1["mean_psnr"] - p8["mean_psnr"]) < 1e-3

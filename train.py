@@ -86,6 +86,7 @@ def main(cfg=None):
         res = render_image_chunked(
             tr.field, tr.params, sample["rays"], sample["mirror_mask"],
             jax.random.PRNGKey(cfg.seed + epoch), ts, chunk=cfg.chunk,
+            mesh=mesh if cfg.num_gpus > 1 else None,
             keys=("rgb_fine", "rgb_coarse", "depth_fine", "depth_coarse",
                   "mirror_mask_fine", "mirror_mask_coarse",
                   "rgb_fine_reflect", "rgb_fine_direct",
