@@ -105,6 +105,16 @@ class Config:
     # TPU extra (not in reference opt.py): mip-NeRF 360 distortion prior on
     # the fine weights; suppresses fog floaters on sparse captures. 0 = off.
     distortion_loss_weight: float = 0.0
+    # TPU extra: novel-ray regularization. Each step casts `novel_ray_batch`
+    # extra rays whose ORIGINS are jittered off the train cameras (by
+    # `novel_pose_jitter` world units) and applies the distortion prior to
+    # their σ-composited weights — no color target needed. Train-ray losses
+    # cannot see floaters parked in space no train ray traverses
+    # (STATUS.md item 7); these rays sweep exactly that space. 0 = off.
+    novel_ray_batch: int = 0
+    novel_pose_jitter: float = 0.15
+    novel_ray_loss_weight: float = 1e-3
+    novel_ray_start_epoch: int = 0
 
     # --- TPU-specific additions (not in the reference surface) ---
     # capacity fraction for secondary-ray compaction when
@@ -216,6 +226,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    default=d.plane_consistent_loss_weight)
     p.add_argument("--distortion_loss_weight", type=float,
                    default=d.distortion_loss_weight)
+    p.add_argument("--novel_ray_batch", type=int, default=d.novel_ray_batch)
+    p.add_argument("--novel_pose_jitter", type=float,
+                   default=d.novel_pose_jitter)
+    p.add_argument("--novel_ray_loss_weight", type=float,
+                   default=d.novel_ray_loss_weight)
+    p.add_argument("--novel_ray_start_epoch", type=int,
+                   default=d.novel_ray_start_epoch)
 
     # TPU-specific
     p.add_argument("--compact_frac", type=float, default=d.compact_frac)

@@ -93,6 +93,7 @@ class EpochStatics:
     enable_normal_losses: bool
     detach_ref_blend: bool
     gate_invalid_mask_steps: bool
+    enable_novel_reg: bool = False
 
     @classmethod
     def of(cls, cfg, epoch: int, geometry_stage: bool):
@@ -106,12 +107,15 @@ class EpochStatics:
             or epoch >= cfg.train_normal_start_epoch,
             detach_ref_blend=epoch >= cfg.train_geometry_stage_end_epoch + 1,
             gate_invalid_mask_steps=epoch <= cfg.train_mirror_mask_start_epoch,
+            enable_novel_reg=(cfg.novel_ray_batch > 0
+                              and epoch >= cfg.novel_ray_start_epoch),
         )
 
     def key(self):
         return (self.geometry_stage, self.fine_pass, self.enable_mask_loss,
                 self.enable_plane_loss, self.enable_normal_losses,
-                self.detach_ref_blend, self.gate_invalid_mask_steps)
+                self.detach_ref_blend, self.gate_invalid_mask_steps,
+                self.enable_novel_reg)
 
 
 class Trainer:
@@ -221,6 +225,15 @@ class Trainer:
             def loss_fn(p):
                 results = render(p, rays, mask, k_trace)
                 loss, loss_dict = total_loss(ls, results, batch_in, k_loss)
+                if statics.enable_novel_reg:
+                    from .losses import novel_ray_regularization
+
+                    k_novel = jax.random.fold_in(k_loss, 7)
+                    nv = cfg.novel_ray_loss_weight * novel_ray_regularization(
+                        field, p, rays[:cfg.novel_ray_batch], k_novel,
+                        cfg.N_samples, cfg.novel_pose_jitter)
+                    loss = loss + nv
+                    loss_dict["novel_ray_reg"] = nv
                 if statics.gate_invalid_mask_steps:
                     # skip steps whose batch lacks GT masks in early epochs
                     # (train.py:405-408): gate the loss to zero

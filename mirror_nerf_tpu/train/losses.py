@@ -179,8 +179,14 @@ def distortion_loss(ls: LossSettings, results: dict) -> jnp.ndarray:
         z = results.get("z_vals_coarse")
     if w is None or z is None:
         return None
-    # scale-free ray coordinate in [0, 1] (z_vals are sorted)
+    return ls.distortion_loss_weight * distortion_core(w, z)
+
+
+def distortion_core(w: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Mean per-ray interval distortion of weights (N, S) over depths (N, S),
+    O(S) via exclusive prefix sums (see distortion_loss)."""
     z0, z1 = z[:, :1], z[:, -1:]
+    # scale-free ray coordinate in [0, 1] (z_vals are sorted)
     s = (z - z0) / jnp.maximum(z1 - z0, 1e-8)
     w = w.astype(jnp.float32)
     s = s.astype(jnp.float32)
@@ -189,7 +195,31 @@ def distortion_loss(ls: LossSettings, results: dict) -> jnp.ndarray:
     bi = 2.0 * jnp.sum(w * (s * w_cum - ws_cum), axis=-1)
     delta = jnp.diff(s, axis=-1, append=s[:, -1:])
     intra = jnp.sum(w * w * delta, axis=-1) / 3.0
-    return ls.distortion_loss_weight * jnp.mean(bi + intra)
+    return jnp.mean(bi + intra)
+
+
+def novel_ray_regularization(field, params: dict, rays: jnp.ndarray,
+                             key, N_samples: int, jitter: float):
+    """Distortion prior along rays cast from JITTERED origins (no color
+    target). Train-ray losses are blind to density in space no train ray
+    traverses (the fog-floater failure mode, STATUS.md item 7); shifting the
+    origins laterally by up to ~3σ·jitter sweeps the corridors between train
+    cameras. Coarse stratified σ-only render, differentiable into the field.
+    Not in the reference — opt-in via --novel_ray_batch."""
+    from ..core.sampling import stratified_z_vals
+    from ..render.renderer import _composite_weights
+
+    k_o, k_z = jax.random.split(key)
+    o = rays[:, 0:3] + jitter * jax.random.normal(k_o, rays[:, 0:3].shape)
+    d = rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    z = stratified_z_vals(k_z, near, far, N_samples, False, 1.0)
+    xyz = o[:, None, :] + d[:, None, :] * z[..., None]
+    fine = params.get("fine", params["coarse"])
+    sigma, _ = field.density(fine, xyz.reshape(-1, 3))
+    w = _composite_weights(sigma.reshape(z.shape), z,
+                           jnp.zeros_like(z))
+    return distortion_core(w, z)
 
 
 def normal_reg_loss(ls: LossSettings, results: dict, batch: dict) -> jnp.ndarray:
