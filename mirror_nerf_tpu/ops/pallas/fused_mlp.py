@@ -56,6 +56,7 @@ class FusedSpec:
     predict_mirror_mask: bool = True
     tile: int = TILE
     interleave: int = 1  # independent sub-tiles per grid step
+    samples: int = 0  # >0: ray mode (samples per ray; tile = rays/blk * S)
     # apply the nonlinear epilogue in-kernel: sigmoid on the rgb/mirror lanes,
     # l2-normalization on the normal lanes (σ stays raw). The packed output
     # row is then FINAL — callers composite on it directly, never slicing
@@ -127,56 +128,114 @@ def _mm(a, w):
     return jnp.dot(a, w, preferred_element_type=jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _enc_consts_np(in_dim: int, n_freqs: int, lanes: int):
+    """(lanes, lanes) fp32 matrix + (1, lanes) phase row such that, for x
+    lane-padded to `lanes` with the raw coords in lanes 0:in_dim,
+      enc = x @ M + phase;  out = where(lane < in_dim, enc, sin(enc))
+    reproduces posenc() (raw coords then interleaved sin/cos), zero-padded to
+    `lanes`. Identity columns carry the raw lanes; padding lanes give
+    sin(0) = 0."""
+    import numpy as np
+
+    from ...models.embedding import _posenc_consts, posenc_dim
+
+    M, phase = _posenc_consts(in_dim, n_freqs, True)
+    out_cols = posenc_dim(in_dim, n_freqs)
+    Mf = np.zeros((lanes, lanes), np.float32)
+    Mf[:in_dim, :in_dim] = np.eye(in_dim, dtype=np.float32)
+    Mf[:in_dim, in_dim:out_cols] = M
+    ph = np.zeros((1, lanes), np.float32)
+    ph[0, in_dim:out_cols] = phase
+    return Mf, ph
+
+
+def _apply_enc(x128, M, ph, in_dim: int):
+    """In-kernel positional encoding: x128 (rows, lanes) fp32 -> bf16."""
+    enc = jnp.dot(x128, M, preferred_element_type=jnp.float32) + ph
+    lanes = jax.lax.broadcasted_iota(jnp.int32, enc.shape, 1)
+    return jnp.where(lanes < in_dim, enc, jnp.sin(enc)).astype(jnp.bfloat16)
+
+
+def _trunk(spec: FusedSpec, w: dict, xe):
+    bf = jnp.bfloat16
+    h = jnp.maximum(_mm(xe, w["w0"]) + w["b0"], 0.0).astype(bf)
+    for i in range(1, spec.depth):
+        if i in spec.skips:
+            acc = _mm(xe, w[f"w{i}a"]) + _mm(h, w[f"w{i}b"])
+        else:
+            acc = _mm(h, w[f"w{i}"])
+        h = jnp.maximum(acc + w[f"b{i}"], 0.0).astype(bf)
+    return h
+
+
+def _heads(spec: FusedSpec, w: dict, h, de):
+    """Packed fp32 output row from trunk features (+ dir encoding)."""
+    bf = jnp.bfloat16
+    xf = (_mm(h, w["wxf"]) + w["bxf"]).astype(bf)
+    hd = jnp.maximum(
+        _mm(xf, w["wda"]) + _mm(de, w["wdb"]) + w["bd"], 0.0
+    ).astype(bf)
+    out = _mm(h, w["wsig"]) + _mm(hd, w["wrgb"]) + w["bout"]
+    if spec.predict_normal:
+        hn = (_mm(h, w["wn1"]) + w["bn1"]).astype(bf)
+        out = out + _mm(hn, w["wn2"])
+    if spec.predict_mirror_mask:
+        hm = _mm(h, w["wm1"]) + w["bm1"]
+        hm = jnp.where(hm >= 0, hm, 0.01 * hm).astype(bf)
+        out = out + _mm(hm, w["wm2"])
+    if spec.epilogue:
+        lanes = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        sigm = ((lanes >= 1) & (lanes < 4)) | (lanes == 7)
+        out = jnp.where(sigm, jax.nn.sigmoid(out), out)
+        if spec.predict_normal:
+            nm = (lanes >= 4) & (lanes < 7)
+            nsq = jnp.sum(jnp.where(nm, out * out, 0.0), axis=1,
+                          keepdims=True)
+            inv = jax.lax.rsqrt(jnp.maximum(nsq, 1.1920929e-07))
+            out = jnp.where(nm, out * inv, out)
+    return out
+
+
 def _kernel(spec: FusedSpec, names, xe_ref, de_ref, *w_refs):
     out_ref = w_refs[-1]
     w = {n: r[...] for n, r in zip(names, w_refs[:-1])}
-    bf = jnp.bfloat16
     P = spec.interleave
     T2 = spec.tile // P
-    sub = lambda ref, j: ref[j * T2:(j + 1) * T2, :]
-
-    # trunk — layer loop outermost so the P sub-tile chains interleave
-    xe = [sub(xe_ref, j) for j in range(P)]
-    h = [jnp.maximum(_mm(x, w["w0"]) + w["b0"], 0.0).astype(bf) for x in xe]
-    for i in range(1, spec.depth):
-        if i in spec.skips:
-            acc = [_mm(xe[j], w[f"w{i}a"]) + _mm(h[j], w[f"w{i}b"])
-                   for j in range(P)]
-        else:
-            acc = [_mm(h[j], w[f"w{i}"]) for j in range(P)]
-        h = [jnp.maximum(a + w[f"b{i}"], 0.0).astype(bf) for a in acc]
-
-    if spec.sigma_only:
-        for j in range(P):
-            out = _mm(h[j], w["wsig"]) + w["bout"]
-            out_ref[j * T2:(j + 1) * T2, :] = out.astype(out_ref.dtype)
-        return
-
-    de = [sub(de_ref, j) for j in range(P)]
     for j in range(P):
-        xf = (_mm(h[j], w["wxf"]) + w["bxf"]).astype(bf)
-        hd = jnp.maximum(
-            _mm(xf, w["wda"]) + _mm(de[j], w["wdb"]) + w["bd"], 0.0
-        ).astype(bf)
-        out = _mm(h[j], w["wsig"]) + _mm(hd, w["wrgb"]) + w["bout"]
-        if spec.predict_normal:
-            hn = (_mm(h[j], w["wn1"]) + w["bn1"]).astype(bf)
-            out = out + _mm(hn, w["wn2"])
-        if spec.predict_mirror_mask:
-            hm = _mm(h[j], w["wm1"]) + w["bm1"]
-            hm = jnp.where(hm >= 0, hm, 0.01 * hm).astype(bf)
-            out = out + _mm(hm, w["wm2"])
-        if spec.epilogue:
-            lanes = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
-            sigm = ((lanes >= 1) & (lanes < 4)) | (lanes == 7)
-            out = jnp.where(sigm, jax.nn.sigmoid(out), out)
-            if spec.predict_normal:
-                nm = (lanes >= 4) & (lanes < 7)
-                nsq = jnp.sum(jnp.where(nm, out * out, 0.0), axis=1,
-                              keepdims=True)
-                inv = jax.lax.rsqrt(jnp.maximum(nsq, 1.1920929e-07))
-                out = jnp.where(nm, out * inv, out)
+        xe = xe_ref[j * T2:(j + 1) * T2, :]
+        h = _trunk(spec, w, xe)
+        if spec.sigma_only:
+            out = _mm(h, w["wsig"]) + w["bout"]
+        else:
+            out = _heads(spec, w, h, de_ref[j * T2:(j + 1) * T2, :])
         out_ref[j * T2:(j + 1) * T2, :] = out.astype(out_ref.dtype)
+
+
+def _kernel_rays(spec: FusedSpec, names, o_ref, d_ref, z_ref, de_ref,
+                 mpos_ref, ppos_ref, *w_refs):
+    """Ray-mode kernel: builds xyz = o + d·z and its positional encoding in
+    VMEM from per-ray inputs, so the dominant per-SAMPLE input tensor never
+    crosses HBM (a per-sample (B,3) xyz is lane-padded to 128 on TPU — a 42x
+    physical blowup the from-points path pays). The much smaller view-dir
+    encoding streams in per-sample (de_ref): constructing it in-kernel from
+    per-ray rows measured ~8x slower than the whole rest of the kernel —
+    Mosaic lowers the ray->sample sublane broadcast of *loaded data* badly,
+    while the arithmetic o + d·z broadcast is free."""
+    out_ref = w_refs[-1]
+    w = {n: r[...] for n, r in zip(names, w_refs[:-1])}
+    T = spec.tile
+
+    z3 = z_ref[...][:, :, None]  # (R, S, 1): depth broadcast over lanes
+    xyz = (o_ref[...][:, None, :] + d_ref[...][:, None, :] * z3
+           ).reshape(T, 128)  # lanes 0:3 real, rest zero
+    xe = _apply_enc(xyz, mpos_ref[...], ppos_ref[...], 3)
+    h = _trunk(spec, w, xe)
+    if spec.sigma_only:
+        out = _mm(h, w["wsig"]) + w["bout"]
+    else:
+        out = _heads(spec, w, h, de_ref[...])
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
@@ -219,6 +278,105 @@ def fused_forward(packed: dict, xe: jnp.ndarray, de: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, OUT_DIM), jnp.bfloat16),
         interpret=interpret,
     )(xe, de, *[packed[n] for n in names])
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_emb_xyz",
+                                              "interpret"))
+def fused_forward_rays(packed: dict, o: jnp.ndarray, d: jnp.ndarray,
+                       z: jnp.ndarray, de: jnp.ndarray, spec: FusedSpec,
+                       n_emb_xyz: int, interpret: bool = False):
+    """Ray-mode fused field: per-ray origins/dirs + per-ray depths in,
+    packed per-sample rows out.
+
+    Args:
+      packed: pack_params output.
+      o, d: (N, 128) fp32, world coords in lanes 0:3.
+      z: (N, S) fp32 sample depths, S == spec.samples.
+      de: (N*S, DE_DIM) bf16 per-sample dir encoding (pass a (8, DE_DIM)
+        dummy when spec.sigma_only — it is never read).
+    Returns:
+      (N*S, OUT_DIM) bf16 packed rows in ray-major order (see fused_forward).
+    """
+    n, s = z.shape
+    assert s == spec.samples and spec.tile % s == 0
+    r_blk = spec.tile // s
+    assert n % r_blk == 0, f"rays {n} not a multiple of {r_blk}"
+    names = sorted(packed.keys())
+    grid = (n // r_blk,)
+    mpos, ppos = _enc_consts_np(3, n_emb_xyz, XE_DIM)
+    const = [jnp.asarray(a) for a in (mpos, ppos)]
+    const_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                                memory_space=pltpu.VMEM) for c in const]
+    w_specs = [pl.BlockSpec(packed[nm].shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM) for nm in names]
+    ray_spec = pl.BlockSpec((r_blk, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((r_blk, s), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    if spec.sigma_only:
+        de_spec = pl.BlockSpec((8, DE_DIM), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        de_spec = pl.BlockSpec((spec.tile, DE_DIM), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_rays, spec, names)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[ray_spec, ray_spec, z_spec, de_spec, *const_specs,
+                  *w_specs],
+        out_specs=pl.BlockSpec((spec.tile, OUT_DIM), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * s, OUT_DIM), jnp.bfloat16),
+        interpret=interpret,
+    )(o, d, z, de, *const, *[packed[nm] for nm in names])
+
+
+def _pad_rays(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """(N, 3) fp32 -> (rows, 128) fp32, coords in lanes 0:3."""
+    n = x.shape[0]
+    return jnp.pad(x.astype(jnp.float32), ((0, rows - n), (0, 128 - 3)))
+
+
+def fused_rays_eval(field, params: dict, rays_o, rays_d, view_dirs, z_vals,
+                    sigma_only: bool = False, interpret: bool = None,
+                    rays_per_block: int = None):
+    """High-level ray-mode adapter: (N,3) origins/dirs + (N,S) depths ->
+    (N*S, OUT_DIM) bf16 packed FINAL rows (ray-major). The per-sample xyz,
+    its positional encoding, and the view-dir encoding are all built inside
+    the kernel. Forward-only."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, s = z_vals.shape
+    r_blk = rays_per_block or max(1, min(TILE, 2048) // s)
+    spec = FusedSpec(
+        width=field.width, depth=field.depth, skips=tuple(field.skips),
+        sigma_only=sigma_only, predict_normal=field.predict_normal,
+        predict_mirror_mask=field.predict_mirror_mask,
+        tile=r_blk * s, samples=s,
+    )
+    n_pad = (n + r_blk - 1) // r_blk * r_blk
+    o = _pad_rays(rays_o, n_pad)
+    d = _pad_rays(rays_d, n_pad)
+    z = jnp.pad(z_vals.astype(jnp.float32), ((0, n_pad - n), (0, 0)),
+                constant_values=1.0)
+    if sigma_only:
+        de = jnp.zeros((8, DE_DIM), jnp.bfloat16)  # never read
+    else:
+        from ...models.embedding import posenc
+
+        # per-RAY dir encoding, broadcast to per-sample in XLA (128-lane
+        # bf16 — no narrow-array tax; in-kernel construction lowers badly)
+        de_r = jnp.pad(posenc(view_dirs, field.N_emb_dir).astype(
+            jnp.bfloat16), ((0, n_pad - n), (0, DE_DIM - field.in_dir)))
+        de = jnp.broadcast_to(de_r[:, None, :], (n_pad, s, DE_DIM)
+                              ).reshape(n_pad * s, DE_DIM)
+    rows = fused_forward_rays(packed=pack_params(
+        params, in_xyz=field.in_xyz, in_dir=field.in_dir, width=field.width,
+        depth=field.depth, skips=tuple(field.skips)),
+        o=o, d=d, z=z, de=de, spec=spec, n_emb_xyz=field.N_emb_xyz,
+        interpret=interpret)
+    return rows[:n * s]
 
 
 def pad_batch(x: jnp.ndarray, lanes: int, tile: int = TILE,

@@ -116,6 +116,8 @@ def _inference(
     keep_flat=None,  # (N*S,) bool extra keep mask (early termination)
     keep_frac: float = 1.0,
     priority_flat=None,  # (N*S,) float keep priority (overflow ordering)
+    ray_o=None,  # (N, 3) ray origins (fused ray-mode fast path)
+    ray_d=None,  # (N, 3) ray directions
 ):
     N, S = z_vals.shape
     xyz_flat = xyz.reshape(-1, 3)
@@ -127,7 +129,7 @@ def _inference(
         return _inference_fused(
             field, params, typ, xyz, z_vals, dirs, rng, rs, results,
             sigma_only, occ_grid if use_occ else None, keep_flat, keep_frac,
-            priority_flat)
+            priority_flat, ray_o, ray_d)
     if use_occ or (keep_flat is not None and not rs.compute_normal):
         return _inference_compact(
             field, params, typ, xyz, z_vals, dirs, rng, rs, results,
@@ -322,7 +324,8 @@ def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
 
 def _inference_fused(field, params, typ, xyz, z_vals, dirs, rng, rs,
                      results, sigma_only, occ_grid=None, keep_flat=None,
-                     keep_frac: float = 1.0, priority_flat=None):
+                     keep_frac: float = 1.0, priority_flat=None,
+                     ray_o=None, ray_d=None):
     """Eval-path inference through the fully-fused Pallas field kernel.
 
     The kernel emits one FINAL packed bf16 row per sample (lane 0 raw σ,
@@ -354,7 +357,16 @@ def _inference_fused(field, params, typ, xyz, z_vals, dirs, rng, rs,
         frac = min(frac, keep_frac)
 
     if keep is None:
-        if sigma_only:
+        if ray_o is not None:
+            # ray mode: xyz and both encodings are built inside the kernel
+            # from per-ray o/d/viewdir + per-ray depths — no per-sample
+            # tensor crosses HBM on the input side. `xyz` is never consumed
+            # here, so XLA drops its construction entirely.
+            from ..ops.pallas.fused_mlp import fused_rays_eval
+
+            rows = fused_rays_eval(field, params, ray_o, ray_d, dirs,
+                                   z_vals, sigma_only=sigma_only)
+        elif sigma_only:
             rows = fused_packed_eval(field, params, xyz_flat, sigma_only=True)
         else:
             dirs_flat = jnp.repeat(dirs, S, axis=0)
@@ -438,7 +450,7 @@ def render_rays(
     _inference(
         field, params["coarse"], "coarse", xyz_coarse, z_vals, dirs,
         k_noise_c, rs, results, coarse_sigma_only, mirror_mask_gt,
-        gt_mask_valid, occ_grid,
+        gt_mask_valid, occ_grid, ray_o=rays_o, ray_d=rays_d,
     )
 
     if rs.has_fine:
@@ -484,6 +496,7 @@ def render_rays(
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
                 occ_grid, keep_flat, rs.et_frac,
                 keep_priority if keep_flat is not None else None,
+                ray_o=rays_o, ray_d=rays_d,
             )
         else:
             _inference(
@@ -491,6 +504,7 @@ def render_rays(
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
                 occ_grid, keep_flat, rs.et_frac,
                 keep_priority if keep_flat is not None else None,
+                ray_o=rays_o, ray_d=rays_d,
             )
 
     for typ in ("coarse", "fine"):

@@ -89,6 +89,50 @@ def test_pack_params_shapes(setup):
     assert np.all(np.asarray(packed["wm2"], np.float32)[:, :7] == 0)
 
 
+def test_ray_mode_matches_unfused(setup):
+    """fused_rays_eval builds xyz = o + d·z and both encodings in-kernel;
+    its packed FINAL rows must match the unfused field + epilogue."""
+    field, params, _, _ = setup
+    n, s = 12, 16
+    ko, kd, kz = jax.random.split(jax.random.PRNGKey(3), 3)
+    o = jax.random.normal(ko, (n, 3)) * 0.3
+    d = jax.random.normal(kd, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(kz, (n, s), minval=0.1, maxval=2.0), -1)
+    rows = fm.fused_rays_eval(field, params, o, d, d, z, interpret=True)
+    assert rows.shape == (n * s, fm.OUT_DIM)
+    xyz = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
+    dirs = jnp.repeat(d, s, axis=0)
+    sigma_ref, geo = field.density(params, xyz)
+    rgb_ref = field.color(params, geo, dirs)
+    n_ref = l2_normalize(field.normal_head(params, geo))
+    m_ref = field.mirror_head(params, geo)
+    rows = np.asarray(rows, np.float32)
+    np.testing.assert_allclose(rows[:, 0], np.asarray(sigma_ref), atol=3e-2)
+    np.testing.assert_allclose(rows[:, 1:4], np.asarray(rgb_ref), atol=1e-2)
+    np.testing.assert_allclose(rows[:, 4:7], np.asarray(n_ref), atol=3e-2)
+    np.testing.assert_allclose(rows[:, 7], np.ravel(np.asarray(m_ref)),
+                               atol=1e-2)
+
+
+def test_ray_mode_sigma_only_and_padding(setup):
+    """Non-multiple ray counts pad correctly; σ-only path skips dirs."""
+    field, params, _, _ = setup
+    n, s = 7, 8  # r_blk default = 2048//8 = 256 -> pads 7 -> 256
+    ko, kd, kz = jax.random.split(jax.random.PRNGKey(4), 3)
+    o = jax.random.normal(ko, (n, 3)) * 0.3
+    d = jax.random.normal(kd, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(kz, (n, s), minval=0.1, maxval=2.0), -1)
+    rows = fm.fused_rays_eval(field, params, o, d, d, z, sigma_only=True,
+                              interpret=True, rays_per_block=4)
+    assert rows.shape == (n * s, fm.OUT_DIM)
+    xyz = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
+    sigma_ref, _ = field.density(params, xyz)
+    np.testing.assert_allclose(np.asarray(rows, np.float32)[:, 0],
+                               np.asarray(sigma_ref), atol=3e-2)
+
+
 def test_pad_batch():
     x = jnp.ones((100, 63))
     out = fm.pad_batch(x, fm.XE_DIM, tile=128)
