@@ -28,6 +28,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--out", type=str, default="/tmp/mnerf_trace")
     p.add_argument("--compact_frac", type=float, default=0.25)
+    p.add_argument("--no_fused", action="store_true",
+                   help="profile the unfused XLA field path")
     args = p.parse_args(argv)
 
     import jax
@@ -53,10 +55,11 @@ def main(argv=None):
     mask = jnp.full((args.chunk,), -1.0, jnp.float32)
     rs = RenderSettings(N_samples=64, N_importance=64, perturb=0.0,
                         noise_std=0.0, test_time=True, compute_normal=False,
-                        fine_pass="fine")
+                        fine_pass="fine", fused_field=not args.no_fused)
     ts = TraceSettings(render=rs, trace_secondary_rays=True,
                        max_recursive_level=2, only_trace_mode="eval",
-                       is_eval=False, compact_frac=args.compact_frac)
+                       is_eval=False, compact_frac=args.compact_frac,
+                       compact_level0=not args.no_fused)
 
     def f(params, rays, mask, key, fb):
         rays = rays.at[:, 6].add(fb * 1e-12)
@@ -82,16 +85,23 @@ def main(argv=None):
             pids[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, n in pids.items() if "TPU" in n}
     agg = collections.Counter()
+    ops = collections.Counter()
     for e in data.get("traceEvents", []):
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            name = e["name"].split(".")[0][:55]
+            full = e["name"]
+            name = full.split(".")[0][:55]
             if name.startswith("jit_"):
                 continue  # parent span; children carry the op-level time
             agg[name] += e.get("dur", 0)
+            ops[full[:70]] += e.get("dur", 0)
     total = sum(agg.values())
     print(f"device busy total: {total / 1e3:.1f} ms over {args.iters} iters "
           f"({total / 1e3 / args.iters:.1f} ms/iter, chunk {args.chunk})")
-    for name, dur in agg.most_common(20):
+    for name, dur in agg.most_common(12):
+        print(f"  {dur / 1e3:8.2f} ms {100 * dur / max(total, 1):5.1f}%  "
+              f"{name}")
+    print("top individual ops:")
+    for name, dur in ops.most_common(25):
         print(f"  {dur / 1e3:8.2f} ms {100 * dur / max(total, 1):5.1f}%  "
               f"{name}")
     print(f"trace: {tr}")
