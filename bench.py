@@ -22,7 +22,18 @@ import numpy as np
 TARGET_RAYS_PER_SEC = 2_000_000.0
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser()
+    # "nerf" is the flagship (driver contract: default prints its number);
+    # "nerf_tcnn" benches the hash-grid model (reference run.sh:5 "For
+    # speedup"); "nerf_tpu" benches the TPU-native CP-grid speed model —
+    # all through the identical trace path.
+    p.add_argument("--model", choices=["nerf", "nerf_tcnn", "nerf_tpu"],
+                   default="nerf")
+    args = p.parse_args(argv)
+
     import jax
 
     from mirror_nerf_tpu.utils.cache import enable_compilation_cache
@@ -34,6 +45,8 @@ def main():
         make_ray_buffer
     from mirror_nerf_tpu.data.synthetic import camera_ring
     from mirror_nerf_tpu.models.fields import MirrorNeRFField
+    from mirror_nerf_tpu.models.ngp import NGPField
+    from mirror_nerf_tpu.models.tpugrid import TPUGridField
     from mirror_nerf_tpu.render.renderer import RenderSettings
     from mirror_nerf_tpu.render.tracer import TraceSettings, trace_rays
 
@@ -50,15 +63,23 @@ def main():
     # capacity (the static-shape analog of the reference's level>=1 boolean
     # compaction, exact when mirror pixels fit), including level 0
     # (compact_level0 — exact for the final rgb, see render/tracer.py).
-    field = MirrorNeRFField(predict_normal=True, predict_mirror_mask=True,
-                            compute_dtype="bfloat16")
+    if args.model == "nerf":
+        field = MirrorNeRFField(predict_normal=True, predict_mirror_mask=True,
+                                compute_dtype="bfloat16")
+    elif args.model == "nerf_tcnn":
+        field = NGPField(bound=6.0, predict_normal=True,
+                         predict_mirror_mask=True, compute_dtype="bfloat16")
+    else:
+        field = TPUGridField(bound=6.0, predict_normal=True,
+                             predict_mirror_mask=True,
+                             compute_dtype="bfloat16")
     params = {
         "coarse": field.init(jax.random.PRNGKey(0)),
         "fine": field.init(jax.random.PRNGKey(1)),
     }
     rs = RenderSettings(N_samples=64, N_importance=64, perturb=0.0,
                         noise_std=0.0, test_time=True, compute_normal=False,
-                        fine_pass="fine", fused_field=True)
+                        fine_pass="fine", fused_field=args.model == "nerf")
     ts = TraceSettings(render=rs, trace_secondary_rays=True,
                        max_recursive_level=2, only_trace_mode="eval",
                        is_eval=False, compact_frac=0.25, compact_level0=True)
@@ -79,7 +100,8 @@ def main():
     # larger chunks amortize per-level overhead, but very large trace graphs
     # can trip internal libtpu compiler bugs on some attachments — fall back
     # to smaller chunks on compile failure
-    for chunk in (8192, 4096, 2048):
+    for chunk in (8192, 4096, 2048) if args.model == "nerf" \
+            else (16384, 8192, 4096):
         try:
             rays = jnp.asarray(rays_all[:chunk])
             mask = jnp.full((chunk,), -1.0, jnp.float32)
@@ -100,8 +122,9 @@ def main():
         best = max(best, rps)
         break
 
+    suffix = "" if args.model == "nerf" else f"_{args.model}"
     print(json.dumps({
-        "metric": "nvs_render_throughput_800x800_L2trace",
+        "metric": f"nvs_render_throughput_800x800_L2trace{suffix}",
         "value": round(best, 1),
         "unit": "rays/sec/chip",
         "vs_baseline": round(best / TARGET_RAYS_PER_SEC, 4),

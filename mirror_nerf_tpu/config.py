@@ -57,7 +57,8 @@ class Config:
     exp_name: str = "exp"
 
     # model
-    model_type: str = "nerf"  # nerf | nerf_tcnn (ngp-style hash-grid model)
+    # nerf | nerf_tcnn (ngp-style hash grid) | nerf_tpu (CP-grid speed model)
+    model_type: str = "nerf"
     predict_normal: bool = False
     predict_mirror_mask: bool = False
     trace_secondary_rays: bool = False
@@ -177,7 +178,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--exp_name", type=str, default=d.exp_name)
 
     p.add_argument("--model_type", type=str, default=d.model_type,
-                   choices=["nerf", "nerf_tcnn"])
+                   choices=["nerf", "nerf_tcnn", "nerf_tpu"])
     p.add_argument("--predict_normal", action="store_true", default=False)
     p.add_argument("--predict_mirror_mask", action="store_true", default=False)
     p.add_argument("--trace_secondary_rays", action="store_true", default=False)

@@ -153,4 +153,13 @@ def make_field(cfg) -> "MirrorNeRFField":
             compute_dtype=cfg.compute_dtype,
             log2_hashmap_size=cfg.log2_hashmap_size,
         )
+    elif cfg.model_type == "nerf_tpu":
+        from .tpugrid import TPUGridField
+
+        return TPUGridField(
+            bound=cfg.bound,
+            predict_normal=cfg.predict_normal,
+            predict_mirror_mask=cfg.predict_mirror_mask,
+            compute_dtype=cfg.compute_dtype,
+        )
     raise ValueError(f"unknown model_type {cfg.model_type!r}")

@@ -71,9 +71,12 @@ class NGPField:
     def in_dim_dir(self) -> int:
         return self.sh_degree ** 2  # 16
 
+    def _init_grid(self, key: jax.Array, dtype) -> dict:
+        return init_hashgrid(key, self.grid_spec, dtype)
+
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         keys = iter(jax.random.split(key, 16))
-        p = {"grid": init_hashgrid(next(keys), self.grid_spec, dtype)}
+        p = {"grid": self._init_grid(next(keys), dtype)}
         dims = [self.in_dim] + [self.hidden_dim] * (self.num_layers - 1) + [
             1 + self.geo_feat_dim]
         p["sigma_net"] = [

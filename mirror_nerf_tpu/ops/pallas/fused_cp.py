@@ -1,0 +1,258 @@
+"""Fused TPU kernel for the CP-grid speed field (TPUGridField).
+
+One pallas_call evaluates, for a block of samples, the entire field:
+CP-grid encode -> σ-net -> (SH dir encode -> color net), normal net, mirror
+net, plus the nonlinear epilogue — with every table/weight VMEM-resident and
+no gather anywhere.
+
+Layout: everything runs TRANSPOSED ("feature-major"): samples live on the
+lane axis (blocks of L=1024 lanes), features/channels on sublanes. This is
+what makes the design work on TPU:
+
+  * the 1-D table lookup becomes a matmul. For a table A ∈ (R, G) and the
+    hat-function basis  B[j, t] = max(0, 1 − |x_t·(G−1) − j|)  (G, L) built
+    from a broadcasted iota, `A @ B` IS linear interpolation — MXU work,
+    no random access (see ops/cpgrid.py for why gathers are disqualified);
+  * per-sample scalars (coords, σ) are (1, L) rows, so nothing ever needs a
+    narrow lane slice of a wide row — the wide axis is always channels;
+  * the normal's L2-normalization is 3-row arithmetic.
+
+The XLA adapter reshapes sample-major inputs to axis-major rows and
+composites directly from the (8, L) output rows (σ, rgb, normal, mirror) —
+the per-sample output is 8 floats, 16× less HBM traffic than a lane-padded
+row per sample.
+
+Forward-only (eval path); training uses the differentiable XLA encoder.
+Reference capability: this is the fast-model eval path, the counterpart of
+tcnn's fused eval in `models/mirror_nerf_tcnn.py`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 1024  # samples per grid step (8 lane-tiles)
+
+
+@dataclass(frozen=True)
+class CPFusedSpec:
+    levels: Tuple[Tuple[int, int], ...]  # (resolution, rank) per scale
+    n_features: int = 32
+    geo_feat_dim: int = 15
+    hidden_dim: int = 64
+    hidden_dim_color: int = 64
+    sh_degree: int = 4
+    sigma_only: bool = False
+    predict_normal: bool = True
+    predict_mirror_mask: bool = True
+    lanes: int = LANES
+
+
+def pack_cp_params(params: dict, field, lanes: int = LANES,
+                   dtype=jnp.bfloat16) -> dict:
+    """Transpose/pad a TPUGridField param pytree for the fused kernel.
+
+    All matrices are stored (out, in) so the kernel computes W @ x with
+    x channels on sublanes. Head outputs are pre-placed into the packed
+    8-row output space (0 σ, 1:4 rgb, 4:7 normal, 7 mirror) so the kernel
+    just sums matmul results.
+    """
+    spec = field.cp_spec
+    p = {}
+    for a in range(3):
+        for li, (g, r) in enumerate(spec.levels):
+            p[f"a{a}l{li}"] = params["grid"]["axes"][a][li].T.astype(dtype)
+    p["fold"] = params["grid"]["fold"].T.astype(dtype)  # (32, ΣR)
+    s = params["sigma_net"]
+    p["s1"] = s[0]["w"].T.astype(dtype)  # (64, 32)
+    p["s2"] = s[1]["w"].T.astype(dtype)  # (16, 64)
+    if not field.predict_normal or not field.predict_mirror_mask:
+        raise NotImplementedError("fused CP kernel packs all heads")
+    c = params["color_net"]
+    w0 = jnp.asarray(c[0]["w"], jnp.float32)  # (16+15, 64)
+    p["c1"] = jnp.pad(w0, ((0, 1), (0, 0))).T.astype(dtype)  # (64, 32)
+    p["c2"] = c[1]["w"].T.astype(dtype)  # (64, 64)
+    # final color (64, 3) -> output rows 1:4 of an (8, 64) matrix
+    c3 = jnp.asarray(c[2]["w"], jnp.float32).T  # (3, 64)
+    p["c3"] = jnp.pad(c3, ((1, 4), (0, 0))).astype(dtype)  # (8, 64)
+    n = params["normal"]
+    p["n1"] = n[0]["w"].T.astype(dtype)  # (64, 15)
+    n2 = jnp.asarray(n[1]["w"], jnp.float32).T  # (3, 64)
+    p["n2"] = jnp.pad(n2, ((4, 1), (0, 0))).astype(dtype)  # (8, 64)
+    m = params["is_mirror"]
+    p["m1"] = m[0]["w"].T.astype(dtype)  # (32, 15)
+    p["m1b"] = jnp.broadcast_to(
+        jnp.asarray(m[0]["b"], jnp.float32)[:, None], (m[0]["b"].shape[0],
+                                                       lanes))
+    m2 = jnp.asarray(m[1]["w"], jnp.float32).T  # (1, 32)
+    p["m2"] = jnp.pad(m2, ((7, 0), (0, 0))).astype(dtype)  # (8, 32)
+    ob = jnp.zeros((8, lanes), jnp.float32)
+    p["obias"] = ob.at[7].set(jnp.asarray(m[1]["b"], jnp.float32)[0])
+    return p
+
+
+def _mm(w, x):
+    return jax.lax.dot_general(
+        w, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _hat_basis(x01_row, g: int):
+    """(1, L) coords in [0,1] -> (G, L) bf16 linear-interp (hat) basis."""
+    xf = jnp.clip(x01_row, 0.0, 1.0) * (g - 1)
+    j = jax.lax.broadcasted_iota(jnp.float32, (g, x01_row.shape[-1]), 0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(xf - j)).astype(jnp.bfloat16)
+
+
+def _sh4_rows(d):
+    """Real SH degrees 1..4 of (3, L) unit dirs -> (16, L) bf16.
+
+    Same constants as ops/sh.py (reference shencoder.cu); transposed layout.
+    """
+    x, y, z = d[0:1], d[1:2], d[2:3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    rows = [
+        jnp.full_like(x, 0.28209479177387814),
+        -0.48860251190291987 * y,
+        0.48860251190291987 * z,
+        -0.48860251190291987 * x,
+        1.0925484305920792 * xy,
+        -1.0925484305920792 * yz,
+        0.94617469575755997 * zz - 0.31539156525251999,
+        -1.0925484305920792 * xz,
+        0.54627421529603959 * (xx - yy),
+        0.59004358992664352 * y * (-3.0 * xx + yy),
+        2.8906114426405538 * xy * z,
+        0.45704579946446572 * y * (1.0 - 5.0 * zz),
+        0.3731763325901154 * z * (5.0 * zz - 3.0),
+        0.45704579946446572 * x * (1.0 - 5.0 * zz),
+        1.4453057213202769 * z * (xx - yy),
+        0.59004358992664352 * x * (-xx + 3.0 * yy),
+    ]
+    return jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
+
+
+def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
+    out_ref = w_refs[-1]
+    w = {n: r for n, r in zip(names, w_refs[:-1])}
+    bf = jnp.bfloat16
+    x3 = x_ref[0]  # (3, L) fp32 coords in [0,1]
+
+    per_level = []
+    for li, (g, r) in enumerate(spec.levels):
+        prod = None
+        for a in range(3):
+            basis = _hat_basis(x3[a:a + 1, :], g)
+            f = _mm(w[f"a{a}l{li}"][...], basis)  # (R, L) fp32
+            prod = f if prod is None else prod * f
+        per_level.append(prod.astype(bf))
+    feats = jnp.concatenate(per_level, axis=0)  # (ΣR, L)
+
+    h = _mm(w["fold"][...], feats).astype(bf)  # (32, L)
+    h = jnp.maximum(_mm(w["s1"][...], h), 0.0).astype(bf)
+    sg = _mm(w["s2"][...], h)  # (16, L) fp32: row 0 σ, rows 1:16 geo
+    sigma = sg[0:1, :]
+
+    if spec.sigma_only:
+        out = jnp.zeros((8, x3.shape[-1]), jnp.float32)
+        out_ref[0] = out.at[0:1, :].set(sigma)
+        return
+
+    geo = sg[1:16, :].astype(bf)  # (15, L)
+    sh = _sh4_rows(d_ref[0])  # (16, L)
+    cin = jnp.concatenate(
+        [sh, geo, jnp.zeros((1, sh.shape[-1]), bf)], axis=0)  # (32, L)
+    hc = jnp.maximum(_mm(w["c1"][...], cin), 0.0).astype(bf)
+    hc = jnp.maximum(_mm(w["c2"][...], hc), 0.0).astype(bf)
+    out = _mm(w["c3"][...], hc)  # rgb raw in rows 1:4
+
+    hn = jnp.maximum(_mm(w["n1"][...], geo), 0.0).astype(bf)
+    out = out + _mm(w["n2"][...], hn)  # normal raw in rows 4:7
+
+    hm = _mm(w["m1"][...], geo) + w["m1b"][...]
+    hm = jnp.where(hm >= 0, hm, 0.01 * hm).astype(bf)
+    out = out + _mm(w["m2"][...], hm) + w["obias"][...]  # mirror in row 7
+
+    # epilogue: σ raw; rgb/mirror sigmoid; normal L2-normalized (row math)
+    out = out.at[0:1, :].set(sigma)
+    rgb = jax.nn.sigmoid(out[1:4, :])
+    n = out[4:7, :]
+    nsq = jnp.sum(n * n, axis=0, keepdims=True)
+    n = n * jax.lax.rsqrt(jnp.maximum(nsq, 1.1920929e-07))
+    mir = jax.nn.sigmoid(out[7:8, :])
+    out_ref[0] = jnp.concatenate([sigma, rgb, n, mir], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def fused_cp_forward(packed: dict, x3: jnp.ndarray, d3: jnp.ndarray,
+                     spec: CPFusedSpec, interpret: bool = False):
+    """x3, d3: (NB, 3, L) fp32 — axis-major sample blocks.
+    Returns (NB, 8, L) fp32: rows σ, rgb·3, normal·3, mirror (FINAL)."""
+    nb, _, lanes = x3.shape
+    assert lanes == spec.lanes
+    names = sorted(packed.keys())
+    blk3 = pl.BlockSpec((1, 3, lanes), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(packed[nm].shape,
+                            (lambda i: (0, 0)) if packed[nm].ndim == 2
+                            else (lambda i: (0,)),
+                            memory_space=pltpu.VMEM) for nm in names]
+    return pl.pallas_call(
+        functools.partial(_kernel, spec, names),
+        grid=(nb,),
+        in_specs=[blk3, blk3, *w_specs],
+        out_specs=pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, lanes), jnp.float32),
+        interpret=interpret,
+    )(x3, d3, *[packed[nm] for nm in names])
+
+
+def _to_blocks(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
+    """(T, 3) sample-major -> (NB, 3, L) axis-major blocks (zero-padded)."""
+    t = x.shape[0]
+    nb = (t + lanes - 1) // lanes
+    x = jnp.pad(x.astype(jnp.float32), ((0, nb * lanes - t), (0, 0)))
+    return x.reshape(nb, lanes, 3).transpose(0, 2, 1)
+
+
+def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
+                       z_vals, sigma_only: bool = False,
+                       interpret: bool = None):
+    """Ray-mode adapter: (N,3) o/d + (N,S) depths -> dict of per-sample
+    outputs in sample-major layout: sigma (N,S) [+ rgb (N,S,3),
+    normal (N,S,3), mirror (N,S)]. Forward-only."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, s = z_vals.shape
+    spec = CPFusedSpec(
+        levels=tuple(field.grid_levels), sigma_only=sigma_only,
+        predict_normal=field.predict_normal,
+        predict_mirror_mask=field.predict_mirror_mask,
+    )
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    x01 = (xyz.reshape(-1, 3) + field.bound) / (2.0 * field.bound)
+    x3 = _to_blocks(x01, spec.lanes)
+    if sigma_only:
+        d3 = jnp.zeros_like(x3)  # never read
+    else:
+        dirs = jnp.broadcast_to(view_dirs[:, None, :], (n, s, 3))
+        d3 = _to_blocks(dirs.reshape(-1, 3), spec.lanes)
+    packed = pack_cp_params(params, field, lanes=spec.lanes)
+    out = fused_cp_forward(packed, x3, d3, spec, interpret=interpret)
+    # (NB, 8, L) -> (8, T): move the 8 channel rows out, flatten blocks
+    rows = out.transpose(1, 0, 2).reshape(8, -1)[:, :n * s]
+    res = {"sigma": rows[0].reshape(n, s)}
+    if not sigma_only:
+        res["rgb"] = rows[1:4].T.reshape(n, s, 3)
+        res["normal"] = rows[4:7].T.reshape(n, s, 3)
+        res["mirror"] = rows[7].reshape(n, s)
+    return res

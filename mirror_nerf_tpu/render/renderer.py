@@ -125,6 +125,12 @@ def _inference(
     use_occ = (rs.occupancy is not None and occ_grid is not None
                and not rs.compute_normal)
     if (rs.fused_field and not rs.compute_normal
+            and getattr(field, "supports_fused_cp", False)
+            and ray_o is not None and keep_flat is None and not use_occ):
+        return _inference_fused_cp(
+            field, params, typ, z_vals, dirs, rng, rs, results, sigma_only,
+            ray_o, ray_d)
+    if (rs.fused_field and not rs.compute_normal
             and getattr(field, "supports_fused", False)):
         return _inference_fused(
             field, params, typ, xyz, z_vals, dirs, rng, rs, results,
@@ -319,6 +325,41 @@ def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
         results[f"pred_normal_{typ}"] = pred_normals
         results[f"surface_normal_{typ}"] = jnp.sum(
             pred_normals * weights[..., None], axis=1)
+    return results
+
+
+def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
+                        sigma_only, ray_o, ray_d):
+    """Eval-path inference for the CP-grid speed field (TPUGridField)
+    through the fully-fused transposed kernel (ops/pallas/fused_cp.py):
+    encoder + all nets + epilogue in one pallas_call, 8 floats of output
+    per sample. Forward-only; gated by the caller on
+    rs.compute_normal == False and no compaction masks."""
+    from ..ops.pallas.fused_cp import fused_cp_rays_eval
+
+    res = fused_cp_rays_eval(field, params, ray_o, ray_d, dirs, z_vals,
+                             sigma_only=sigma_only)
+    sigmas = res["sigma"]
+    noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
+             if rs.noise_std > 0 else jnp.zeros_like(sigmas))
+    weights = _composite_weights(sigmas, z_vals, noise)
+    weights_sum = jnp.sum(weights, axis=-1)
+    results[f"weights_{typ}"] = weights
+    results[f"opacity_{typ}"] = weights_sum
+    results[f"z_vals_{typ}"] = z_vals
+    if sigma_only:
+        return results
+
+    rgb_map = jnp.einsum("ns,nsc->nc", weights, res["rgb"])
+    if rs.white_back:
+        rgb_map = rgb_map + (1.0 - weights_sum[:, None])
+    results[f"rgb_{typ}"] = rgb_map
+    results[f"depth_{typ}"] = jnp.sum(weights * z_vals, axis=-1)
+    if field.predict_mirror_mask:
+        results[f"mirror_mask_{typ}"] = jnp.sum(weights * res["mirror"], -1)
+    if field.predict_normal:
+        results[f"surface_normal_{typ}"] = jnp.einsum(
+            "ns,nsc->nc", weights, res["normal"])
     return results
 
 

@@ -1,0 +1,81 @@
+"""Fused CP-grid field kernel vs the unfused TPUGridField (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mirror_nerf_tpu.models.tpugrid import TPUGridField
+from mirror_nerf_tpu.ops.pallas.fused_cp import fused_cp_rays_eval
+
+
+@pytest.fixture(scope="module")
+def setup():
+    field = TPUGridField(bound=2.0, predict_normal=True,
+                         predict_mirror_mask=True,
+                         grid_levels=((16, 8), (32, 8)))
+    params = field.init(jax.random.PRNGKey(0))
+    n, s = 6, 16
+    ko, kd, kz = jax.random.split(jax.random.PRNGKey(1), 3)
+    o = jax.random.normal(ko, (n, 3)) * 0.3
+    d = jax.random.normal(kd, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(kz, (n, s), minval=0.1, maxval=2.5), -1)
+    return field, params, o, d, z
+
+
+def _reference(field, params, o, d, z):
+    from mirror_nerf_tpu.core.mathutil import l2_normalize
+
+    n, s = z.shape
+    xyz = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
+    dirs = jnp.repeat(d, s, axis=0)
+    sigma, geo = field.density(params, xyz)
+    rgb = field.color(params, geo, dirs)
+    nrm = l2_normalize(field.normal_head(params, geo))
+    mir = field.mirror_head(params, geo)
+    return (np.asarray(sigma).reshape(n, s),
+            np.asarray(rgb).reshape(n, s, 3),
+            np.asarray(nrm).reshape(n, s, 3),
+            np.asarray(mir).reshape(n, s))
+
+
+def test_fused_cp_matches_unfused(setup):
+    field, params, o, d, z = setup
+    res = fused_cp_rays_eval(field, params, o, d, d, z, interpret=True)
+    sig_ref, rgb_ref, nrm_ref, mir_ref = _reference(field, params, o, d, z)
+    np.testing.assert_allclose(np.asarray(res["sigma"]), sig_ref, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(res["rgb"]), rgb_ref, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(res["normal"]), nrm_ref, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(res["mirror"]), mir_ref, atol=1e-2)
+
+
+def test_fused_cp_renderer_equivalence(setup):
+    """render_rays with fused_field=True (CP dispatch) vs unfused."""
+    from mirror_nerf_tpu.core.rays import make_ray_buffer
+    from mirror_nerf_tpu.render.renderer import RenderSettings, render_rays
+
+    field, params, o, d, z = setup
+    rays = make_ray_buffer(o, d, 0.1, 2.5)
+    common = dict(N_samples=8, N_importance=8, perturb=0.0, noise_std=0.0,
+                  test_time=True, compute_normal=False, fine_pass="fine")
+    prm = {"coarse": params, "fine": params}
+    key = jax.random.PRNGKey(0)
+    fused = render_rays(field, prm, rays, key,
+                        RenderSettings(fused_field=True, **common))
+    plain = render_rays(field, prm, rays, key,
+                        RenderSettings(fused_field=False, **common))
+    for k in ("rgb_fine", "depth_fine", "opacity_fine", "mirror_mask_fine",
+              "surface_normal_fine"):
+        np.testing.assert_allclose(np.asarray(fused[k]),
+                                   np.asarray(plain[k]), atol=3e-2,
+                                   err_msg=k)
+
+
+def test_fused_cp_sigma_only(setup):
+    field, params, o, d, z = setup
+    res = fused_cp_rays_eval(field, params, o, d, d, z, sigma_only=True,
+                             interpret=True)
+    sig_ref, *_ = _reference(field, params, o, d, z)
+    assert set(res.keys()) == {"sigma"}
+    np.testing.assert_allclose(np.asarray(res["sigma"]), sig_ref, atol=3e-2)
