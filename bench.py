@@ -79,7 +79,8 @@ def main(argv=None):
     }
     rs = RenderSettings(N_samples=64, N_importance=64, perturb=0.0,
                         noise_std=0.0, test_time=True, compute_normal=False,
-                        fine_pass="fine", fused_field=args.model == "nerf")
+                        fine_pass="fine",
+                        fused_field=args.model in ("nerf", "nerf_tpu"))
     ts = TraceSettings(render=rs, trace_secondary_rays=True,
                        max_recursive_level=2, only_trace_mode="eval",
                        is_eval=False, compact_frac=0.25, compact_level0=True)

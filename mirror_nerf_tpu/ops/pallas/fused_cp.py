@@ -107,7 +107,8 @@ def _mm(w, x):
 def _hat_basis(x01_row, g: int):
     """(1, L) coords in [0,1] -> (G, L) bf16 linear-interp (hat) basis."""
     xf = jnp.clip(x01_row, 0.0, 1.0) * (g - 1)
-    j = jax.lax.broadcasted_iota(jnp.float32, (g, x01_row.shape[-1]), 0)
+    j = jax.lax.broadcasted_iota(
+        jnp.int32, (g, x01_row.shape[-1]), 0).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(xf - j)).astype(jnp.bfloat16)
 
 
@@ -162,8 +163,8 @@ def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
     sigma = sg[0:1, :]
 
     if spec.sigma_only:
-        out = jnp.zeros((8, x3.shape[-1]), jnp.float32)
-        out_ref[0] = out.at[0:1, :].set(sigma)
+        out_ref[0] = jnp.concatenate(
+            [sigma, jnp.zeros((7, x3.shape[-1]), jnp.float32)], axis=0)
         return
 
     geo = sg[1:16, :].astype(bf)  # (15, L)
@@ -182,7 +183,6 @@ def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
     out = out + _mm(w["m2"][...], hm) + w["obias"][...]  # mirror in row 7
 
     # epilogue: σ raw; rgb/mirror sigmoid; normal L2-normalized (row math)
-    out = out.at[0:1, :].set(sigma)
     rgb = jax.nn.sigmoid(out[1:4, :])
     n = out[4:7, :]
     nsq = jnp.sum(n * n, axis=0, keepdims=True)

@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--compact_frac", type=float, default=0.25)
     p.add_argument("--no_fused", action="store_true",
                    help="profile the unfused XLA field path")
+    p.add_argument("--model", choices=["nerf", "nerf_tcnn", "nerf_tpu"],
+                   default="nerf")
     args = p.parse_args(argv)
 
     import jax
@@ -47,7 +49,20 @@ def main(argv=None):
     o, d = get_rays(get_ray_directions(H, W, 0.5 * W / np.tan(0.45)),
                     camera_ring(1)[0])
     rays_all = make_ray_buffer(o, d, 0.05, 8.0)
-    field = MirrorNeRFField(predict_normal=True, predict_mirror_mask=True,
+    if args.model == "nerf_tpu":
+        from mirror_nerf_tpu.models.tpugrid import TPUGridField
+
+        field = TPUGridField(bound=6.0, predict_normal=True,
+                             predict_mirror_mask=True,
+                             compute_dtype="bfloat16")
+    elif args.model == "nerf_tcnn":
+        from mirror_nerf_tpu.models.ngp import NGPField
+
+        field = NGPField(bound=6.0, predict_normal=True,
+                         predict_mirror_mask=True,
+                         compute_dtype="bfloat16")
+    else:
+        field = MirrorNeRFField(predict_normal=True, predict_mirror_mask=True,
                             compute_dtype="bfloat16")
     params = {"coarse": field.init(jax.random.PRNGKey(0)),
               "fine": field.init(jax.random.PRNGKey(1))}
