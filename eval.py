@@ -42,6 +42,9 @@ def get_opt(argv=None):
     # bounded by the coarse field; 0 = off)
     parser.add_argument("--early_term_eps", type=float, default=0.0)
     parser.add_argument("--early_term_frac", type=float, default=0.5)
+    # fully-fused Pallas field kernels on the eval path (bf16 MXU; exact up
+    # to bf16 rounding). Supported for model_type nerf and nerf_tpu.
+    parser.add_argument("--fused_field", default=False, action="store_true")
     # applications
     parser.add_argument("--app_control_mirror_roughness", default=False,
                         action="store_true")

@@ -404,6 +404,7 @@ class AppContext:
             compute_normal=cfg.trace_secondary_rays and not cfg.predict_normal,
             fine_pass=("fine" if cfg.N_importance > 0 and not cfg.only_one_field
                        else ("coarse" if cfg.N_importance > 0 else "none")),
+            fused_field=getattr(args, "fused_field", False),
         )
         app = EvalAppFlags(
             place_new_mirror=(plane_preset(args.plane_pos, cfg.root_dir)

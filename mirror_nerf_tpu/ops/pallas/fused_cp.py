@@ -53,6 +53,13 @@ class CPFusedSpec:
     predict_normal: bool = True
     predict_mirror_mask: bool = True
     lanes: int = LANES
+    # "bfloat16" on TPU; "float32" in interpret mode (XLA:CPU cannot execute
+    # large bf16 DotThunks: "Unsupported element type ... BF16 x BF16 = F32")
+    dtype: str = "bfloat16"
+
+    @property
+    def jdtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
 def pack_cp_params(params: dict, field, lanes: int = LANES,
@@ -104,12 +111,12 @@ def _mm(w, x):
         preferred_element_type=jnp.float32)
 
 
-def _hat_basis(x01_row, g: int):
-    """(1, L) coords in [0,1] -> (G, L) bf16 linear-interp (hat) basis."""
+def _hat_basis(x01_row, g: int, dtype=jnp.bfloat16):
+    """(1, L) coords in [0,1] -> (G, L) linear-interp (hat) basis."""
     xf = jnp.clip(x01_row, 0.0, 1.0) * (g - 1)
     j = jax.lax.broadcasted_iota(
         jnp.int32, (g, x01_row.shape[-1]), 0).astype(jnp.float32)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(xf - j)).astype(jnp.bfloat16)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(xf - j)).astype(dtype)
 
 
 def _sh4_rows(d):
@@ -138,20 +145,20 @@ def _sh4_rows(d):
         1.4453057213202769 * z * (xx - yy),
         0.59004358992664352 * x * (-xx + 3.0 * yy),
     ]
-    return jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
+    return jnp.concatenate(rows, axis=0)
 
 
 def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
     out_ref = w_refs[-1]
     w = {n: r for n, r in zip(names, w_refs[:-1])}
-    bf = jnp.bfloat16
+    bf = spec.jdtype
     x3 = x_ref[0]  # (3, L) fp32 coords in [0,1]
 
     per_level = []
     for li, (g, r) in enumerate(spec.levels):
         prod = None
         for a in range(3):
-            basis = _hat_basis(x3[a:a + 1, :], g)
+            basis = _hat_basis(x3[a:a + 1, :], g, bf)
             f = _mm(w[f"a{a}l{li}"][...], basis)  # (R, L) fp32
             prod = f if prod is None else prod * f
         per_level.append(prod.astype(bf))
@@ -168,7 +175,7 @@ def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
         return
 
     geo = sg[1:16, :].astype(bf)  # (15, L)
-    sh = _sh4_rows(d_ref[0])  # (16, L)
+    sh = _sh4_rows(d_ref[0]).astype(bf)  # (16, L)
     cin = jnp.concatenate(
         [sh, geo, jnp.zeros((1, sh.shape[-1]), bf)], axis=0)  # (32, L)
     hc = jnp.maximum(_mm(w["c1"][...], cin), 0.0).astype(bf)
@@ -237,6 +244,7 @@ def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
         levels=tuple(field.grid_levels), sigma_only=sigma_only,
         predict_normal=field.predict_normal,
         predict_mirror_mask=field.predict_mirror_mask,
+        dtype="float32" if interpret else "bfloat16",
     )
     xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     x01 = (xyz.reshape(-1, 3) + field.bound) / (2.0 * field.bound)
@@ -246,7 +254,8 @@ def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
     else:
         dirs = jnp.broadcast_to(view_dirs[:, None, :], (n, s, 3))
         d3 = _to_blocks(dirs.reshape(-1, 3), spec.lanes)
-    packed = pack_cp_params(params, field, lanes=spec.lanes)
+    packed = pack_cp_params(params, field, lanes=spec.lanes,
+                            dtype=spec.jdtype)
     out = fused_cp_forward(packed, x3, d3, spec, interpret=interpret)
     # (NB, 8, L) -> (8, T): move the 8 channel rows out, flatten blocks
     rows = out.transpose(1, 0, 2).reshape(8, -1)[:, :n * s]

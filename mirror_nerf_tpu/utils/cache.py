@@ -13,6 +13,15 @@ import os
 def enable_compilation_cache(path: str = None) -> None:
     import jax
 
+    try:
+        # TPU only: XLA:CPU AOT artifacts key on exact host CPU features and
+        # can be served back on a host whose feature set differs (observed:
+        # "+prefer-no-scatter ... not supported on the host machine" followed
+        # by an UNIMPLEMENTED bf16-dot thunk at run time).
+        if jax.default_backend() not in ("tpu", "axon"):
+            return
+    except Exception:
+        return
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                   os.path.expanduser("~/.cache/mnerf_xla"))
     try:

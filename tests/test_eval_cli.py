@@ -72,6 +72,40 @@ def test_eval_nvs_output_tree(scene, ckpt, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_fused_field_flag(scene, ckpt, tmp_path):
+    """--fused_field routes eval through the Pallas kernels (interpret mode
+    on CPU) and produces the same output tree."""
+    dir_name, base = _run_eval(scene, ckpt, tmp_path,
+                               extra=("--fused_field", "--only_eval_idx",
+                                      "0"))
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+    assert os.path.exists(os.path.join(out, "psnr.json"))
+
+
+@pytest.mark.slow
+def test_eval_fused_field_nerf_tpu(scene, tmp_path, tmp_path_factory):
+    """eval CLI end-to-end with the CP-grid speed model + fused kernel."""
+    import jax
+
+    from mirror_nerf_tpu.models.tpugrid import TPUGridField
+
+    field = TPUGridField(bound=6.0, predict_normal=True,
+                         predict_mirror_mask=True)  # default levels: must
+    # match what eval.py's make_field builds for --model_type nerf_tpu
+    params = {"coarse": field.init(jax.random.PRNGKey(0)),
+              "fine": field.init(jax.random.PRNGKey(1))}
+    ckpt2 = str(tmp_path_factory.mktemp("ck_tpu") / "weights.npz")
+    save_pytree(ckpt2, params)
+    dir_name, base = _run_eval(
+        scene, ckpt2, tmp_path,
+        extra=("--fused_field", "--model_type", "nerf_tpu", "--bound", "6.0",
+               "--only_eval_idx", "0"))
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+
+
+@pytest.mark.slow
 def test_eval_app_place_new_mirror(scene, ckpt, tmp_path):
     dir_name, base = _run_eval(
         scene, ckpt, tmp_path,
