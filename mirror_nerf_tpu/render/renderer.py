@@ -67,6 +67,10 @@ class RenderSettings:
     # (ops/pallas/fused_mlp.py) — forward-only, so it engages only when the
     # σ-gradient normal is off (eval/bench path). bf16 numerics.
     fused_field: bool = False
+    # generation-2 fused path for the PE-MLP: transposed kernel with
+    # in-kernel compositing (applies when fused_field is set and the pass is
+    # plain eval — no noise/occupancy/early-term masks)
+    fused_t: bool = True
 
     @property
     def has_fine(self) -> bool:
@@ -132,6 +136,11 @@ def _inference(
             ray_o, ray_d)
     if (rs.fused_field and not rs.compute_normal
             and getattr(field, "supports_fused", False)):
+        if (rs.fused_t and ray_o is not None and keep_flat is None
+                and not use_occ and rs.noise_std == 0):
+            return _inference_fused_t(
+                field, params, typ, z_vals, dirs, rs, results, sigma_only,
+                ray_o, ray_d)
         return _inference_fused(
             field, params, typ, xyz, z_vals, dirs, rng, rs, results,
             sigma_only, occ_grid if use_occ else None, keep_flat, keep_frac,
@@ -325,6 +334,36 @@ def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
         results[f"pred_normal_{typ}"] = pred_normals
         results[f"surface_normal_{typ}"] = jnp.sum(
             pred_normals * weights[..., None], axis=1)
+    return results
+
+
+def _inference_fused_t(field, params, typ, z_vals, dirs, rs, results,
+                       sigma_only, ray_o, ray_d):
+    """Eval-path inference for the PE-MLP flagship through the transposed
+    kernel with IN-KERNEL compositing (ops/pallas/fused_mlp_t.py): the
+    per-sample rows tensor never exists; the kernel returns per-sample
+    weights plus per-ray composited opacity/rgb/normal/mirror/depth.
+    Forward-only; eval semantics (noise_std == 0)."""
+    from ..ops.pallas.fused_mlp_t import fused_t_rays_eval
+
+    res = fused_t_rays_eval(field, params, ray_o, ray_d, dirs, z_vals,
+                            sigma_only=sigma_only)
+    weights = res["weights"]
+    results[f"weights_{typ}"] = weights
+    results[f"z_vals_{typ}"] = z_vals
+    if sigma_only:
+        results[f"opacity_{typ}"] = jnp.sum(weights, axis=-1)
+        return results
+    results[f"opacity_{typ}"] = res["opacity"]
+    rgb_map = res["rgb"]
+    if rs.white_back:
+        rgb_map = rgb_map + (1.0 - res["opacity"][:, None])
+    results[f"rgb_{typ}"] = rgb_map
+    results[f"depth_{typ}"] = res["depth"]
+    if field.predict_mirror_mask:
+        results[f"mirror_mask_{typ}"] = res["mirror"]
+    if field.predict_normal:
+        results[f"surface_normal_{typ}"] = res["normal"]
     return results
 
 

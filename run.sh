@@ -11,7 +11,8 @@ MODE=${1:-0}
 DEVICES=${2:-0}
 
 SCENE=${SCENE:-livingroom}
-MODEL_TYPE=${MODEL_TYPE:-nerf}   # nerf | nerf_tcnn (hash-grid speed path)
+# nerf | nerf_tcnn (hash grid) | nerf_tpu (CP-grid TPU speed path)
+MODEL_TYPE=${MODEL_TYPE:-nerf}
 
 # scene presets: name -> "dataset_name dir near far img_w img_h bound"
 declare -A PRESETS=(
