@@ -674,6 +674,9 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
             print(f"[warn] eval trace compile failed at chunk={chunk}; "
                   f"retrying with {chunk // 2}")
             chunk //= 2  # same jitted fn retraces at the smaller shape
+            if ctx.mesh is not None:  # keep the data-axis divisibility
+                ndev = ctx.mesh.devices.size
+                chunk = max(((chunk + ndev - 1) // ndev) * ndev, ndev)
 
     outs = {}
     for start in range(0, n, chunk):

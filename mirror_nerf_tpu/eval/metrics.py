@@ -65,8 +65,18 @@ def ssim(pred: np.ndarray, gt: np.ndarray, window: int = 11,
 
 def lpips(pred: np.ndarray, gt: np.ndarray, weights_path: str = None) -> float:
     """LPIPS(alex), forward in jnp (see `lpips_jax.py`). Requires pretrained
-    weights on disk (`weights_path` or $LPIPS_WEIGHTS); returns NaN if
-    unavailable (the image has no network egress to fetch them)."""
+    weights on disk (`weights_path` or $LPIPS_WEIGHTS); returns NaN if the
+    file is absent OR unreadable/incompatible (e.g. a torchscript archive) —
+    metrics runs must not abort on a bad perceptual-weights file."""
+    import warnings
+
     from .lpips_jax import lpips_from_file
 
-    return lpips_from_file(pred, gt, weights_path)
+    try:
+        return lpips_from_file(pred, gt, weights_path)
+    except FileNotFoundError:
+        return float("nan")
+    except Exception as e:  # noqa: BLE001 - incompatible/corrupt weights
+        warnings.warn(f"LPIPS weights unusable ({type(e).__name__}: {e}); "
+                      "reporting NaN")
+        return float("nan")

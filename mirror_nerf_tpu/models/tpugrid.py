@@ -40,8 +40,13 @@ class TPUGridField(NGPField):
     @property
     def supports_fused_cp(self) -> bool:
         """Eval-path fused kernel (ops/pallas/fused_cp.py) available when
-        both heads are present (the kernel packs all of them)."""
-        return self.predict_normal and self.predict_mirror_mask
+        both heads are present and the net dims match the kernel's packed
+        row layout (σ row + 15 geo rows, 64-wide nets, SH4) — non-default
+        dims fall back to the unfused XLA path instead of mis-slicing."""
+        return (self.predict_normal and self.predict_mirror_mask
+                and self.geo_feat_dim == 15 and self.hidden_dim == 64
+                and self.num_layers == 2 and self.num_layers_color == 3
+                and self.hidden_dim_color == 64 and self.sh_degree == 4)
 
     @property
     def in_dim(self) -> int:

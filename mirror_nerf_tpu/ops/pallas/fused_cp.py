@@ -120,11 +120,15 @@ def _hat_basis(x01_row, g: int, dtype=jnp.bfloat16):
 
 
 def _sh4_rows(d):
-    """Real SH degrees 1..4 of (3, L) unit dirs -> (16, L) bf16.
+    """Real SH degrees 1..4 of (3, L) dirs -> (16, L).
 
     Same constants as ops/sh.py (reference shencoder.cu); transposed layout.
+    The closed forms assume unit directions, so normalize here (3 row ops)
+    rather than trusting every caller.
     """
     x, y, z = d[0:1], d[1:2], d[2:3]
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-12))
+    x, y, z = x * inv, y * inv, z * inv
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
     rows = [

@@ -460,7 +460,7 @@ def _inference_fused(field, params, typ, xyz, z_vals, dirs, rng, rs,
                 return (fused_packed_eval(field, params, xc,
                                           sigma_only=True),)
 
-            (rows,) = compact_apply(fn, keep, cap, (0.0,), xyz_flat,
+            (rows,) = compact_apply(fn, keep, cap, (-1e10,), xyz_flat,
                                     priority=priority_flat)
         else:
             dirs_flat = jnp.repeat(dirs, S, axis=0)
@@ -468,9 +468,12 @@ def _inference_fused(field, params, typ, xyz, z_vals, dirs, rng, rs,
             def fn(xc, dc):
                 return (fused_packed_eval(field, params, xc, dc),)
 
-            (rows,) = compact_apply(fn, keep, cap, (0.0,), xyz_flat,
+            (rows,) = compact_apply(fn, keep, cap, (-1e10,), xyz_flat,
                                     dirs_flat, priority=priority_flat)
-        # dropped samples get σ = 0 -> α = 1 − exp(0) = 0: exactly empty
+        # dropped rows are filled with -1e10: relu(σ + noise) stays 0 even
+        # with σ-noise enabled (a 0 fill turns noisy dropped samples into
+        # emissive fog, cf. _inference_compact), and weight 0 zeroes the
+        # bogus -1e10 color lanes in the composite
 
     sigmas = rows[:, 0].astype(jnp.float32).reshape(N, S)
     noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std

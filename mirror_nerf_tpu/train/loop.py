@@ -359,6 +359,12 @@ def render_image_chunked(field, params, rays: np.ndarray,
     if mirror_mask is None:
         mirror_mask = np.full((n,), -1.0, np.float32)
 
+    if mesh is not None:
+        # every chunk is sharded over the data axis: its length must be a
+        # multiple of the device count
+        nd = mesh.devices.size
+        chunk = max((chunk + nd - 1) // nd * nd, nd)
+
     put = (lambda x: jax.device_put(x, batch_sharding(mesh))) if mesh is not None \
         else jnp.asarray
 
@@ -371,11 +377,12 @@ def render_image_chunked(field, params, rays: np.ndarray,
     for start in range(0, n, chunk):
         end = min(start + chunk, n)
         pad = chunk - (end - start)
-        r = np.concatenate([rays[start:end], rays[end - pad:end][::-1]]) if pad \
-            else rays[start:end]
-        m = np.concatenate(
-            [mirror_mask[start:end], mirror_mask[end - pad:end][::-1]]) if pad \
-            else mirror_mask[start:end]
+        # pad by repeating the last row: always yields exactly `chunk` rows
+        # (a mirrored slice underfills whenever the remainder < pad)
+        r, m = rays[start:end], mirror_mask[start:end]
+        if pad:
+            r = np.concatenate([r, np.repeat(r[-1:], pad, axis=0)])
+            m = np.concatenate([m, np.repeat(m[-1:], pad, axis=0)])
         try:
             res = traced(params, put(r), put(m),
                          jax.random.fold_in(rng, start), ts=ts)
