@@ -228,11 +228,28 @@ def fused_cp_forward(packed: dict, x3: jnp.ndarray, d3: jnp.ndarray,
 
 
 def _to_blocks(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
-    """(T, 3) sample-major -> (NB, 3, L) axis-major blocks (zero-padded)."""
+    """(T, 3) sample-major -> (NB, 3, L) axis-major blocks (zero-padded).
+
+    Kept for generic inputs; prefer _axis_blocks for o/d/z ray inputs — a
+    transpose whose minor dimension is 3 is a slow layout op on TPU."""
     t = x.shape[0]
     nb = (t + lanes - 1) // lanes
     x = jnp.pad(x.astype(jnp.float32), ((0, nb * lanes - t), (0, 0)))
     return x.reshape(nb, lanes, 3).transpose(0, 2, 1)
+
+
+def _axis_blocks(comps, lanes: int) -> jnp.ndarray:
+    """[3 × (N, S)] per-axis planes -> (NB, 3, L) axis-major blocks.
+
+    Builds the axis-major layout directly from per-axis (N, S) arrays so no
+    narrow-minor-dim transpose ever materializes: stack → (3, T) → block
+    split → (NB, 3, L) via a transpose that moves whole L-contiguous rows.
+    """
+    x = jnp.stack([c.reshape(-1) for c in comps], axis=0)  # (3, T) fp32
+    t = x.shape[1]
+    nb = (t + lanes - 1) // lanes
+    x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, nb * lanes - t)))
+    return x.reshape(3, nb, lanes).transpose(1, 0, 2)
 
 
 def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
@@ -250,22 +267,26 @@ def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
         predict_mirror_mask=field.predict_mirror_mask,
         dtype="float32" if interpret else "bfloat16",
     )
-    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    x01 = (xyz.reshape(-1, 3) + field.bound) / (2.0 * field.bound)
-    x3 = _to_blocks(x01, spec.lanes)
+    inv2b = 1.0 / (2.0 * field.bound)
+    x3 = _axis_blocks(
+        [(rays_o[:, a:a + 1] + rays_d[:, a:a + 1] * z_vals + field.bound)
+         * inv2b for a in range(3)], spec.lanes)
     if sigma_only:
         d3 = jnp.zeros_like(x3)  # never read
     else:
-        dirs = jnp.broadcast_to(view_dirs[:, None, :], (n, s, 3))
-        d3 = _to_blocks(dirs.reshape(-1, 3), spec.lanes)
+        d3 = _axis_blocks(
+            [jnp.broadcast_to(view_dirs[:, a:a + 1], (n, s))
+             for a in range(3)], spec.lanes)
     packed = pack_cp_params(params, field, lanes=spec.lanes,
                             dtype=spec.jdtype)
     out = fused_cp_forward(packed, x3, d3, spec, interpret=interpret)
     # (NB, 8, L) -> (8, T): move the 8 channel rows out, flatten blocks
+    # (whole-L-row moves only; rgb/normal stay CHANNEL-major — a .T back to
+    # (T, 3) would be a narrow-minor-dim transpose)
     rows = out.transpose(1, 0, 2).reshape(8, -1)[:, :n * s]
     res = {"sigma": rows[0].reshape(n, s)}
     if not sigma_only:
-        res["rgb"] = rows[1:4].T.reshape(n, s, 3)
-        res["normal"] = rows[4:7].T.reshape(n, s, 3)
+        res["rgb3"] = rows[1:4].reshape(3, n, s)
+        res["normal3"] = rows[4:7].reshape(3, n, s)
         res["mirror"] = rows[7].reshape(n, s)
     return res

@@ -284,12 +284,15 @@ def fused_t_forward(packed: dict, x3, d3, z_row, dl_row, spec: TSpec,
     return per_ray, wts
 
 
-def _rows_to_blocks(x, lanes):
-    """(T, C) sample-major -> (NB, C, L)."""
-    t, c = x.shape
-    nb = (t + lanes - 1) // lanes
-    x = jnp.pad(x.astype(jnp.float32), ((0, nb * lanes - t), (0, 0)))
-    return x.reshape(nb, lanes, c).transpose(0, 2, 1)
+def _axis_blocks(comps, lanes):
+    """[C × (N, S)] per-channel planes -> (NB, C, L) channel-major blocks,
+    with no narrow-minor-dim transpose (see fused_cp._axis_blocks). Total
+    size N·S must be a multiple of `lanes`."""
+    x = jnp.stack([c.reshape(-1) for c in comps], axis=0)  # (C, T)
+    c, t = x.shape
+    assert t % lanes == 0
+    return x.astype(jnp.float32).reshape(c, t // lanes, lanes).transpose(
+        1, 0, 2)
 
 
 def fused_t_rays_eval(field, params, rays_o, rays_d, view_dirs, z_vals,
@@ -319,13 +322,13 @@ def fused_t_rays_eval(field, params, rays_o, rays_d, view_dirs, z_vals,
                 constant_values=1.0)
     deltas = jnp.concatenate(
         [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
-    xyz = o[:, None, :] + d[:, None, :] * z[..., None]  # (n_pad, S, 3)
-    x3 = _rows_to_blocks(xyz.reshape(-1, 3), lanes)
-    d3 = (jnp.zeros_like(x3) if sigma_only else _rows_to_blocks(
-        jnp.broadcast_to(v[:, None, :], (n_pad, s, 3)).reshape(-1, 3),
+    x3 = _axis_blocks([o[:, a:a + 1] + d[:, a:a + 1] * z for a in range(3)],
+                      lanes)
+    d3 = (jnp.zeros_like(x3) if sigma_only else _axis_blocks(
+        [jnp.broadcast_to(v[:, a:a + 1], (n_pad, s)) for a in range(3)],
         lanes))
-    z_row = _rows_to_blocks(z.reshape(-1, 1), lanes)
-    dl_row = _rows_to_blocks(deltas.reshape(-1, 1), lanes)
+    z_row = _axis_blocks([z], lanes)
+    dl_row = _axis_blocks([deltas], lanes)
     packed = pack_t_params(params, spec, in_xyz=field.in_xyz,
                            in_dir=field.in_dir, dtype=spec.jdtype)
     per_ray, wts = fused_t_forward(packed, x3, d3, z_row, dl_row, spec,

@@ -389,7 +389,7 @@ def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
     if sigma_only:
         return results
 
-    rgb_map = jnp.einsum("ns,nsc->nc", weights, res["rgb"])
+    rgb_map = jnp.einsum("ns,cns->nc", weights, res["rgb3"])
     if rs.white_back:
         rgb_map = rgb_map + (1.0 - weights_sum[:, None])
     results[f"rgb_{typ}"] = rgb_map
@@ -398,7 +398,7 @@ def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
         results[f"mirror_mask_{typ}"] = jnp.sum(weights * res["mirror"], -1)
     if field.predict_normal:
         results[f"surface_normal_{typ}"] = jnp.einsum(
-            "ns,nsc->nc", weights, res["normal"])
+            "ns,cns->nc", weights, res["normal3"])
     return results
 
 

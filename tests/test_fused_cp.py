@@ -45,8 +45,10 @@ def test_fused_cp_matches_unfused(setup):
     res = fused_cp_rays_eval(field, params, o, d, d, z, interpret=True)
     sig_ref, rgb_ref, nrm_ref, mir_ref = _reference(field, params, o, d, z)
     np.testing.assert_allclose(np.asarray(res["sigma"]), sig_ref, atol=3e-2)
-    np.testing.assert_allclose(np.asarray(res["rgb"]), rgb_ref, atol=1e-2)
-    np.testing.assert_allclose(np.asarray(res["normal"]), nrm_ref, atol=3e-2)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(res["rgb3"]), 0, -1), rgb_ref, atol=1e-2)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(res["normal3"]), 0, -1), nrm_ref, atol=3e-2)
     np.testing.assert_allclose(np.asarray(res["mirror"]), mir_ref, atol=1e-2)
 
 
