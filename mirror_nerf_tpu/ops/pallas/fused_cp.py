@@ -254,18 +254,21 @@ def _axis_blocks(comps, lanes: int) -> jnp.ndarray:
 
 def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
                        z_vals, sigma_only: bool = False,
-                       interpret: bool = None):
+                       interpret: bool = None, lanes: int = None):
     """Ray-mode adapter: (N,3) o/d + (N,S) depths -> dict of per-sample
     outputs in sample-major layout: sigma (N,S) [+ rgb (N,S,3),
     normal (N,S,3), mirror (N,S)]. Forward-only."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, s = z_vals.shape
+    import os
+
     spec = CPFusedSpec(
         levels=tuple(field.grid_levels), sigma_only=sigma_only,
         predict_normal=field.predict_normal,
         predict_mirror_mask=field.predict_mirror_mask,
         dtype="float32" if interpret else "bfloat16",
+        lanes=lanes or int(os.environ.get("MNERF_CP_LANES", LANES)),
     )
     inv2b = 1.0 / (2.0 * field.bound)
     x3 = _axis_blocks(
