@@ -53,6 +53,10 @@ class CPFusedSpec:
     predict_normal: bool = True
     predict_mirror_mask: bool = True
     lanes: int = LANES
+    # >0 enables IN-KERNEL compositing (samples per ray; lanes % samples
+    # == 0): the kernel consumes z/δ rows and emits per-ray composited
+    # rows + per-sample weights, like ops/pallas/fused_mlp_t.py
+    samples: int = 0
     # "bfloat16" on TPU; "float32" in interpret mode (XLA:CPU cannot execute
     # large bf16 DotThunks: "Unsupported element type ... BF16 x BF16 = F32")
     dtype: str = "bfloat16"
@@ -60,6 +64,11 @@ class CPFusedSpec:
     @property
     def jdtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def rays_per_block(self) -> int:
+        assert self.samples > 0 and self.lanes % self.samples == 0
+        return self.lanes // self.samples
 
 
 def pack_cp_params(params: dict, field, lanes: int = LANES,
@@ -152,12 +161,10 @@ def _sh4_rows(d):
     return jnp.concatenate(rows, axis=0)
 
 
-def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
-    out_ref = w_refs[-1]
-    w = {n: r for n, r in zip(names, w_refs[:-1])}
+def _field_rows(spec: CPFusedSpec, w, x3, d3):
+    """Shared field evaluation: (3, L) coords/dirs -> (σ (1,L) fp32,
+    final rows (8, L) or None when sigma_only)."""
     bf = spec.jdtype
-    x3 = x_ref[0]  # (3, L) fp32 coords in [0,1]
-
     per_level = []
     for li, (g, r) in enumerate(spec.levels):
         prod = None
@@ -174,12 +181,10 @@ def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
     sigma = sg[0:1, :]
 
     if spec.sigma_only:
-        out_ref[0] = jnp.concatenate(
-            [sigma, jnp.zeros((7, x3.shape[-1]), jnp.float32)], axis=0)
-        return
+        return sigma, None
 
     geo = sg[1:16, :].astype(bf)  # (15, L)
-    sh = _sh4_rows(d_ref[0]).astype(bf)  # (16, L)
+    sh = _sh4_rows(d3).astype(bf)  # (16, L)
     cin = jnp.concatenate(
         [sh, geo, jnp.zeros((1, sh.shape[-1]), bf)], axis=0)  # (32, L)
     hc = jnp.maximum(_mm(w["c1"][...], cin), 0.0).astype(bf)
@@ -199,7 +204,45 @@ def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
     nsq = jnp.sum(n * n, axis=0, keepdims=True)
     n = n * jax.lax.rsqrt(jnp.maximum(nsq, 1.1920929e-07))
     mir = jax.nn.sigmoid(out[7:8, :])
-    out_ref[0] = jnp.concatenate([sigma, rgb, n, mir], axis=0)
+    return sigma, jnp.concatenate([sigma, rgb, n, mir], axis=0)
+
+
+def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
+    out_ref = w_refs[-1]
+    w = {n: r for n, r in zip(names, w_refs[:-1])}
+    x3 = x_ref[0]  # (3, L) fp32 coords in [0,1]
+    sigma, rows = _field_rows(spec, w, x3, d_ref[0])
+    if rows is None:
+        out_ref[0] = jnp.concatenate(
+            [sigma, jnp.zeros((7, x3.shape[-1]), jnp.float32)], axis=0)
+    else:
+        out_ref[0] = rows
+
+
+def _kernel_composite(spec: CPFusedSpec, names, x_ref, d_ref, z_ref, dl_ref,
+                      *refs):
+    """Composite mode: per-ray output + per-sample weights (see
+    fused_mlp_t._kernel for the TRI/SUM construction)."""
+    w = {n: r for n, r in zip(names, refs[:len(names)])}
+    if spec.sigma_only:
+        tri = refs[len(names)]
+        wts_ref = refs[-1]
+    else:
+        tri, summ = refs[len(names):len(names) + 2]
+        out_ref, wts_ref = refs[-2], refs[-1]
+    x3 = x_ref[0]
+    sigma, rows = _field_rows(spec, w, x3, d_ref[0])
+
+    sd = dl_ref[0] * jnp.maximum(sigma, 0.0)  # (1, L)
+    cum = _mm(sd.astype(jnp.float32), tri[...])
+    wts = jnp.exp(-cum) * (1.0 - jnp.exp(-sd))
+    wts_ref[0] = wts
+    if spec.sigma_only:
+        return
+    vals = jnp.concatenate(
+        [jnp.ones_like(sigma), rows[1:8, :], z_ref[0]], axis=0)  # (9, L)
+    pmap = _mm((vals * wts).astype(jnp.float32), summ[...])  # (9, R)
+    out_ref[0] = jnp.pad(pmap, ((0, 16 - pmap.shape[0]), (0, 0)))
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
@@ -227,6 +270,105 @@ def fused_cp_forward(packed: dict, x3: jnp.ndarray, d3: jnp.ndarray,
     )(x3, d3, *[packed[nm] for nm in names])
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def fused_cp_forward_composite(packed: dict, x3, d3, z_row, dl_row,
+                               spec: CPFusedSpec, interpret: bool = False):
+    """Composite mode: returns (per_ray (NB, 16, R) or None,
+    weights (NB, 1, L))."""
+    from .fused_mlp_t import _tri_sum_consts
+
+    nb, _, lanes = x3.shape
+    assert lanes == spec.lanes
+    r = spec.rays_per_block
+    names = sorted(packed.keys())
+    tri, summ = _tri_sum_consts(lanes, spec.samples)
+    consts = [jnp.asarray(tri, spec.jdtype)]
+    if not spec.sigma_only:
+        consts.append(jnp.asarray(summ, spec.jdtype))
+    blk3 = pl.BlockSpec((1, 3, lanes), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(packed[nm].shape,
+                            (lambda i: (0, 0)) if packed[nm].ndim == 2
+                            else (lambda i: (0,)),
+                            memory_space=pltpu.VMEM) for nm in names]
+    c_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM) for c in consts]
+    kern = functools.partial(_kernel_composite, spec, names)
+    wts_shape = jax.ShapeDtypeStruct((nb, 1, lanes), jnp.float32)
+    wts_spec = pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    ins = [x3, d3, z_row, dl_row, *[packed[nm] for nm in names], *consts]
+    in_specs = [blk3, blk3, blk1, blk1, *w_specs, *c_specs]
+    if spec.sigma_only:
+        wts = pl.pallas_call(kern, grid=(nb,), in_specs=in_specs,
+                             out_specs=wts_spec, out_shape=wts_shape,
+                             interpret=interpret)(*ins)
+        return None, wts
+    per_ray, wts = pl.pallas_call(
+        kern, grid=(nb,), in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, 16, r), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), wts_spec],
+        out_shape=[jax.ShapeDtypeStruct((nb, 16, r), jnp.float32),
+                   wts_shape],
+        interpret=interpret)(*ins)
+    return per_ray, wts
+
+
+def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
+                            z_vals, sigma_only: bool = False,
+                            interpret: bool = None, lanes: int = None):
+    """Composite-mode adapter (same contract as
+    fused_mlp_t.fused_t_rays_eval): weights (N, S) always; plus per-ray
+    opacity/rgb/normal/mirror/depth unless sigma_only. Eval semantics
+    (no σ noise)."""
+    import os
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, s = z_vals.shape
+    lanes = lanes or int(os.environ.get("MNERF_CP_LANES", LANES))
+    if lanes % s != 0:
+        lanes = s * max(1, lanes // s)
+    spec = CPFusedSpec(
+        levels=tuple(field.grid_levels), sigma_only=sigma_only,
+        predict_normal=field.predict_normal,
+        predict_mirror_mask=field.predict_mirror_mask,
+        dtype="float32" if interpret else "bfloat16",
+        lanes=lanes, samples=s,
+    )
+    rpb = spec.rays_per_block
+    n_pad = (n + rpb - 1) // rpb * rpb
+    pad2 = ((0, n_pad - n), (0, 0))
+    o = jnp.pad(rays_o.astype(jnp.float32), pad2)
+    d = jnp.pad(rays_d.astype(jnp.float32), pad2)
+    v = jnp.pad(view_dirs.astype(jnp.float32), pad2)
+    z = jnp.pad(z_vals.astype(jnp.float32), ((0, n_pad - n), (0, 0)),
+                constant_values=1.0)
+    deltas = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
+    inv2b = 1.0 / (2.0 * field.bound)
+    x3 = _axis_blocks(
+        [(o[:, a:a + 1] + d[:, a:a + 1] * z + field.bound) * inv2b
+         for a in range(3)], spec.lanes)
+    d3 = (jnp.zeros_like(x3) if sigma_only else _axis_blocks(
+        [jnp.broadcast_to(v[:, a:a + 1], (n_pad, s)) for a in range(3)],
+        spec.lanes))
+    z_row = _axis_blocks([z], spec.lanes)
+    dl_row = _axis_blocks([deltas], spec.lanes)
+    packed = pack_cp_params(params, field, lanes=spec.lanes,
+                            dtype=spec.jdtype)
+    per_ray, wts = fused_cp_forward_composite(packed, x3, d3, z_row, dl_row,
+                                              spec, interpret=interpret)
+    res = {"weights": wts.reshape(-1)[:n * s].reshape(n, s)}
+    if not sigma_only:
+        pr = per_ray.transpose(1, 0, 2).reshape(16, -1)[:, :n]
+        res.update(opacity=pr[0], rgb=pr[1:4].T, normal=pr[4:7].T,
+                   mirror=pr[7], depth=pr[8])
+    return res
+
+
 def _to_blocks(x: jnp.ndarray, lanes: int) -> jnp.ndarray:
     """(T, 3) sample-major -> (NB, 3, L) axis-major blocks (zero-padded).
 
@@ -245,11 +387,11 @@ def _axis_blocks(comps, lanes: int) -> jnp.ndarray:
     narrow-minor-dim transpose ever materializes: stack → (3, T) → block
     split → (NB, 3, L) via a transpose that moves whole L-contiguous rows.
     """
-    x = jnp.stack([c.reshape(-1) for c in comps], axis=0)  # (3, T) fp32
-    t = x.shape[1]
+    x = jnp.stack([c.reshape(-1) for c in comps], axis=0)  # (C, T) fp32
+    c, t = x.shape
     nb = (t + lanes - 1) // lanes
     x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, nb * lanes - t)))
-    return x.reshape(3, nb, lanes).transpose(1, 0, 2)
+    return x.reshape(c, nb, lanes).transpose(1, 0, 2)
 
 
 def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,

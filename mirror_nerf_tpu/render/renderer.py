@@ -374,7 +374,30 @@ def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
     encoder + all nets + epilogue in one pallas_call, 8 floats of output
     per sample. Forward-only; gated by the caller on
     rs.compute_normal == False and no compaction masks."""
-    from ..ops.pallas.fused_cp import fused_cp_rays_eval
+    from ..ops.pallas.fused_cp import (fused_cp_rays_composite,
+                                       fused_cp_rays_eval)
+
+    if rs.noise_std == 0:
+        # composite mode: weights + the per-ray render computed in-kernel
+        res = fused_cp_rays_composite(field, params, ray_o, ray_d, dirs,
+                                      z_vals, sigma_only=sigma_only)
+        weights = res["weights"]
+        results[f"weights_{typ}"] = weights
+        results[f"z_vals_{typ}"] = z_vals
+        if sigma_only:
+            results[f"opacity_{typ}"] = jnp.sum(weights, axis=-1)
+            return results
+        results[f"opacity_{typ}"] = res["opacity"]
+        rgb_map = res["rgb"]
+        if rs.white_back:
+            rgb_map = rgb_map + (1.0 - res["opacity"][:, None])
+        results[f"rgb_{typ}"] = rgb_map
+        results[f"depth_{typ}"] = res["depth"]
+        if field.predict_mirror_mask:
+            results[f"mirror_mask_{typ}"] = res["mirror"]
+        if field.predict_normal:
+            results[f"surface_normal_{typ}"] = res["normal"]
+        return results
 
     res = fused_cp_rays_eval(field, params, ray_o, ray_d, dirs, z_vals,
                              sigma_only=sigma_only)

@@ -74,6 +74,35 @@ def test_fused_cp_renderer_equivalence(setup):
                                    err_msg=k)
 
 
+def test_fused_cp_composite_matches_per_sample(setup):
+    """Composite-mode kernel (in-kernel weights + per-ray render) vs the
+    per-sample kernel + XLA compositing."""
+    from mirror_nerf_tpu.ops.pallas.fused_cp import fused_cp_rays_composite
+    from mirror_nerf_tpu.render.renderer import _composite_weights
+
+    field, params, o, d, z = setup
+    n, s = z.shape
+    got = fused_cp_rays_composite(field, params, o, d, d, z, interpret=True)
+    per = fused_cp_rays_eval(field, params, o, d, d, z, interpret=True)
+    w_ref = _composite_weights(per["sigma"], z, jnp.zeros_like(z))
+    np.testing.assert_allclose(np.asarray(got["weights"]),
+                               np.asarray(w_ref), atol=2e-2)
+    rgb_ref = jnp.einsum("ns,cns->nc", w_ref, per["rgb3"])
+    np.testing.assert_allclose(np.asarray(got["rgb"]), np.asarray(rgb_ref),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(jnp.sum(w_ref * z, -1)),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got["mirror"]),
+                               np.asarray(jnp.sum(w_ref * per["mirror"],
+                                                  -1)), atol=2e-2)
+
+    sig = fused_cp_rays_composite(field, params, o, d, d, z,
+                                  sigma_only=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(sig["weights"]),
+                               np.asarray(w_ref), atol=2e-2)
+
+
 def test_fused_cp_sigma_only(setup):
     field, params, o, d, z = setup
     res = fused_cp_rays_eval(field, params, o, d, d, z, sigma_only=True,
