@@ -75,6 +75,36 @@ def test_t_renderer_equivalence(setup):
                                    atol=3e-2, err_msg=k)
 
 
+def test_t_spmd_mesh_equivalence(setup):
+    """Fused T path under the 8-virtual-device data mesh == single device
+    (pallas_call composes with GSPMD partitioning of the ray batch)."""
+    from mirror_nerf_tpu.core.rays import make_ray_buffer
+    from mirror_nerf_tpu.parallel.mesh import get_mesh
+    from mirror_nerf_tpu.render.renderer import RenderSettings
+    from mirror_nerf_tpu.render.tracer import TraceSettings
+    from mirror_nerf_tpu.train.loop import render_image_chunked
+
+    field, params, o, d, z = setup
+    prm = {"coarse": params, "fine": params}
+    rays = np.asarray(make_ray_buffer(
+        jnp.tile(o, (13, 1)), jnp.tile(d, (13, 1)), 0.1, 2.0))  # 65 rays
+    rs = RenderSettings(N_samples=8, N_importance=8, perturb=0.0,
+                        noise_std=0.0, test_time=True, compute_normal=False,
+                        fine_pass="fine", fused_field=True)
+    ts = TraceSettings(render=rs, trace_secondary_rays=True,
+                       max_recursive_level=1, only_trace_mode="eval",
+                       is_eval=True)
+    kw = dict(keys=("rgb_fine", "depth_fine"), chunk=24)
+    sharded = render_image_chunked(field, prm, rays, None,
+                                   jax.random.PRNGKey(0), ts,
+                                   mesh=get_mesh(8), **kw)
+    single = render_image_chunked(field, prm, rays, None,
+                                  jax.random.PRNGKey(0), ts, mesh=None, **kw)
+    for k in kw["keys"]:
+        np.testing.assert_allclose(sharded[k], single[k], atol=1e-5,
+                                   err_msg=k)
+
+
 def test_t_kernel_sigma_only(setup):
     field, params, o, d, z = setup
     got = fused_t_rays_eval(field, params, o, d, d, z, sigma_only=True,
