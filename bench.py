@@ -101,8 +101,9 @@ def main(argv=None):
     # larger chunks amortize per-level overhead, but very large trace graphs
     # can trip internal libtpu compiler bugs on some attachments — fall back
     # to smaller chunks on compile failure
-    for chunk in (8192, 4096, 2048) if args.model == "nerf" \
-            else (16384, 8192, 4096):
+    # gen-2 kernels shrink the per-chunk graph (no per-sample rows tensors),
+    # letting larger chunks compile where 16384+ used to trip libtpu
+    for chunk in (16384, 8192, 4096, 2048):
         try:
             rays = jnp.asarray(rays_all[:chunk])
             mask = jnp.full((chunk,), -1.0, jnp.float32)
