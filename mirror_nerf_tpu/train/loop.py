@@ -294,7 +294,7 @@ class Trainer:
         perm = np_rng.permutation(n)
         n_steps = n // cfg.batch_size
         last_aux = {}
-        t0 = time.time()
+        t0, t_skip = time.time(), 0
         for s in range(n_steps):
             idx = perm[s * cfg.batch_size:(s + 1) * cfg.batch_size]
             b_rays, b_rgbs, b_masks = gather_batch(rays, rgbs, masks, idx)
@@ -307,6 +307,13 @@ class Trainer:
             self.params, self.opt_state, aux = step_fn(
                 self.params, self.opt_state, batch, rng)
             self.global_step += 1
+            if s == 0:
+                # the first step of a new stage compiles (minutes on TPU);
+                # restart the throughput clock so rays_per_sec reports
+                # steady-state stepping, not compile time (fetch a value:
+                # on this attachment only fetches synchronize)
+                float(aux["loss"])
+                t0, t_skip = time.time(), 1
             if s % log_every == 0 or s == n_steps - 1:
                 last_aux = {k: float(v) for k, v in aux.items()}
                 last_aux["lr"] = float(self.lr_schedule(self.global_step))
@@ -314,7 +321,8 @@ class Trainer:
                            "stage": "geometry" if geometry_stage else "full",
                            **last_aux})
         dt = time.time() - t0
-        last_aux["rays_per_sec"] = n_steps * cfg.batch_size / max(dt, 1e-9)
+        last_aux["rays_per_sec"] = (max(n_steps - t_skip, 1) * cfg.batch_size
+                                    / max(dt, 1e-9))
         return last_aux
 
     def fit(self, on_epoch_end=None):
