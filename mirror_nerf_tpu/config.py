@@ -67,6 +67,9 @@ class Config:
 
     # dataset geometry
     log2_hashmap_size: int = 19  # hash-grid table size (nerf_tcnn path)
+    # CP-grid scales for the nerf_tpu speed model: "res:rank,res:rank,..."
+    # (speed/quality knob; encoder FLOPs scale with sum(res*rank))
+    grid_levels: str = "64:64,256:64,512:64"
     bound: float = 1.0
     near: float = 0.05
     far: float = 8.0
@@ -187,6 +190,7 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    default=d.only_one_field_fine_epoch)
 
     p.add_argument("--log2_hashmap_size", type=int, default=d.log2_hashmap_size)
+    p.add_argument("--grid_levels", type=str, default=d.grid_levels)
     p.add_argument("--bound", type=float, default=d.bound)
     p.add_argument("--near", type=float, default=d.near)
     p.add_argument("--far", type=float, default=d.far)

@@ -156,10 +156,15 @@ def make_field(cfg) -> "MirrorNeRFField":
     elif cfg.model_type == "nerf_tpu":
         from .tpugrid import TPUGridField
 
+        levels = tuple(
+            (int(g), int(r))
+            for g, r in (lv.split(":")
+                         for lv in cfg.grid_levels.split(",") if lv))
         return TPUGridField(
             bound=cfg.bound,
             predict_normal=cfg.predict_normal,
             predict_mirror_mask=cfg.predict_mirror_mask,
             compute_dtype=cfg.compute_dtype,
+            grid_levels=levels,
         )
     raise ValueError(f"unknown model_type {cfg.model_type!r}")

@@ -78,6 +78,16 @@ def test_tpugrid_field_protocol():
     assert field.mirror_head(params, geo).shape == (40,)
 
 
+def test_grid_levels_flag_parsing():
+    from mirror_nerf_tpu.config import Config
+    from mirror_nerf_tpu.models.fields import make_field
+
+    cfg = Config(model_type="nerf_tpu", grid_levels="16:8,32:4", bound=2.0)
+    field = make_field(cfg)
+    assert field.grid_levels == ((16, 8), (32, 4))
+    assert field.cp_spec.total_rank == 12
+
+
 @pytest.mark.slow
 def test_tpugrid_two_stage_training_learns(tmp_path):
     root = str(tmp_path / "scene")
