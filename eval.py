@@ -45,6 +45,10 @@ def get_opt(argv=None):
     # fully-fused Pallas field kernels on the eval path (bf16 MXU; exact up
     # to bf16 rounding). Supported for model_type nerf and nerf_tpu.
     parser.add_argument("--fused_field", default=False, action="store_true")
+    # chunks rendered per dispatch (lax.map); 0 = auto (4 on TPU, 1 on CPU).
+    # Amortizes per-dispatch tunnel latency — measured 2.2x wall throughput
+    # on the tunneled v5e attachment (BASELINE.md).
+    parser.add_argument("--megabatch", type=int, default=0)
     # applications
     parser.add_argument("--app_control_mirror_roughness", default=False,
                         action="store_true")

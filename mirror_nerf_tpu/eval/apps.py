@@ -333,13 +333,28 @@ class AppContext:
 
         return jax.device_put(jnp.asarray(x), batch_sharding(self.mesh))
 
-    def traced(self, compact_frac: float, has_noise: bool):
-        """One compiled eval trace per (capacity, noise) variant. frame_time
-        and the roughness noise are *traced* arguments, so every view of a
-        split reuses the same executable."""
+    def put_blocks(self, x):
+        """Device-put a (K, chunk, ...) megabatch block; the chunk axis is
+        the sharded one when a mesh is set."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel.mesh import block_sharding
+
+        return jax.device_put(jnp.asarray(x), block_sharding(self.mesh))
+
+    def traced(self, compact_frac: float, has_noise: bool,
+               kblocks: int = 1):
+        """One compiled eval trace per (capacity, noise, kblocks) variant.
+        frame_time and the roughness noise are *traced* arguments, so every
+        view of a split reuses the same executable.
+
+        kblocks > 1 renders K chunks per dispatch via `lax.map` (the scan
+        body compiles once, same program as a single chunk) — on a tunneled
+        TPU attachment per-dispatch latency otherwise dominates the wall
+        clock (measured 2.2x: 450k -> 975k rays/s at K=4, BASELINE.md)."""
         if self.jit_cache is None:
             self.jit_cache = {}
-        key = (compact_frac, has_noise)
+        key = (compact_frac, has_noise, kblocks)
         if key not in self.jit_cache:
             cfg = self.cfg
             if cfg.max_recursive_level > 3 and not (
@@ -363,6 +378,20 @@ class AppContext:
                         frame_time=frame_time,
                         normal_noise=noise if has_noise else None,
                         compact_frac=compact_frac, compact_from_level=1)
+
+            if kblocks > 1:
+                base_fn = fn
+
+                def fn(params, rays_k, keys_k, frame_time, noise_k):
+                    def body(t):
+                        res = base_fn(params, t[0], t[1], frame_time, t[2])
+                        # filter inside jit so unused per-sample buffers
+                        # (weights/z_vals/per-sample normals) are DCE'd
+                        # instead of materialized K-fold
+                        return {kk: vv for kk, vv in res.items()
+                                if _keep_eval_key(kk)}
+
+                    return jax.lax.map(body, (rays_k, keys_k, noise_k))
 
             self.jit_cache[key] = jax.jit(fn)
         return self.jit_cache[key]
@@ -589,6 +618,13 @@ def eval_trace_deep(
 CAPACITY_BUCKETS = (0.125, 0.25, 0.5, 1.0)
 
 
+def _keep_eval_key(kk: str) -> bool:
+    """Eval output filter: drop per-sample buffers the writers never read."""
+    return not (kk.startswith(("weights_", "z_vals_", "normal_",
+                               "pred_normal_", "_"))
+                and kk != "normal_dif_fine")
+
+
 def estimate_mirror_fraction(ctx: AppContext, rays_all: np.ndarray,
                              key: jax.Array) -> float:
     """Cheap low-res prepass: level-0 mirror-mask fraction of this view.
@@ -652,21 +688,55 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
     else:
         compact_frac = 1.0
 
-    traced = ctx.traced(compact_frac, has_noise=ctx.app.roughness)
+    # Megabatch: K chunks per dispatch (lax.map inside one jit) — amortizes
+    # per-dispatch tunnel latency, the dominant wall cost on this attachment
+    # (BASELINE.md: 450k -> 975k rays/s). Per-chunk math is IDENTICAL to the
+    # K=1 path (same chunk shapes, same fold_in keys). The roughness app
+    # keeps K=1: its secondary bundles are orchestrated on the host.
+    meg = int(getattr(args, "megabatch", 0) or 0)
+    if meg <= 0:
+        meg = 4 if jax.default_backend() == "tpu" else 1
+    if ctx.app.roughness:
+        meg = 1
+    meg = max(min(meg, (n + chunk - 1) // chunk), 1)
+
     ft = jnp.float32(progress)
 
     def run_chunk(rays_np, k, normal_noise=None):
+        traced = ctx.traced(compact_frac, has_noise=ctx.app.roughness)
         if normal_noise is None:
             normal_noise = jnp.zeros((rays_np.shape[0], 3), jnp.float32)
         return traced(ctx.params, ctx.put_batch(rays_np), k, ft,
                       ctx.put_batch(normal_noise))
+
+    def run_block(rays_k_np, keys_k):
+        traced_k = ctx.traced(compact_frac, has_noise=False, kblocks=meg)
+        noise_k = jnp.zeros(rays_k_np.shape[:2] + (3,), jnp.float32)
+        return traced_k(ctx.params, ctx.put_blocks(rays_k_np), keys_k, ft,
+                        ctx.put_blocks(noise_k))
+
+    def _block(start):
+        """(meg, chunk, 8) block starting at ray `start`; tail chunks are
+        padded by repetition so one program covers every group."""
+        parts = []
+        for j in range(meg):
+            s = min(start + j * chunk, max(n - 1, 0))
+            parts.append(_pad(rays_all[s:s + chunk], chunk))
+        return np.stack(parts, axis=0)
+
+    def _block_keys(start):
+        return jnp.stack([jax.random.fold_in(key, min(start + j * chunk, n))
+                          for j in range(meg)])
 
     # very large trace graphs can trip internal libtpu compiler bugs
     # (register-allocation RET_CHECKs); probe the first chunk and halve on
     # INTERNAL compile failures
     while chunk > 256:
         try:
-            run_chunk(_pad(rays_all[:chunk], chunk), key)
+            if meg > 1:
+                run_block(_block(0), _block_keys(0))
+            else:
+                run_chunk(_pad(rays_all[:chunk], chunk), key)
             break
         except Exception as e:  # noqa: BLE001
             if "INTERNAL" not in str(e):
@@ -677,6 +747,22 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
             if ctx.mesh is not None:  # keep the data-axis divisibility
                 ndev = ctx.mesh.devices.size
                 chunk = max(((chunk + ndev - 1) // ndev) * ndev, ndev)
+            meg = max(min(meg, (n + chunk - 1) // chunk), 1)
+
+    if meg > 1 and not ctx.app.roughness:
+        # dispatch every block, fetch afterwards: the host never blocks on
+        # an in-flight render while later dispatches wait
+        pend = []
+        for start in range(0, n, chunk * meg):
+            res = run_block(_block(start), _block_keys(start))
+            pend.append((start, res))
+        outs = {}
+        for start, res in pend:
+            valid = min(chunk * meg, n - start)
+            for kk, vv in res.items():
+                v = np.asarray(vv).reshape((-1,) + vv.shape[2:])
+                outs.setdefault(kk, []).append(v[:valid])
+        return {kk: np.concatenate(v, 0) for kk, v in outs.items()}
 
     outs = {}
     for start in range(0, n, chunk):

@@ -37,6 +37,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def block_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 1 (the chunk axis of (K, chunk, ...) megabatch blocks);
+    the leading block axis is scanned by lax.map, not sharded."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
