@@ -730,7 +730,13 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
 
     # very large trace graphs can trip internal libtpu compiler bugs
     # (register-allocation RET_CHECKs); probe the first chunk and halve on
-    # INTERNAL compile failures
+    # INTERNAL compile failures. The working chunk is memoized per
+    # (capacity, megabatch): a FAILED compile is not cached by jax, so
+    # without this every view would re-pay the failed 32768 compile.
+    if ctx.jit_cache is None:
+        ctx.jit_cache = {}
+    cache_key = ("good_chunk", compact_frac, meg)
+    chunk = min(ctx.jit_cache.get(cache_key, chunk), chunk)
     while chunk > 256:
         try:
             if meg > 1:
@@ -748,6 +754,7 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
                 ndev = ctx.mesh.devices.size
                 chunk = max(((chunk + ndev - 1) // ndev) * ndev, ndev)
             meg = max(min(meg, (n + chunk - 1) // chunk), 1)
+    ctx.jit_cache[cache_key] = chunk
 
     if meg > 1 and not ctx.app.roughness:
         # dispatch every block, fetch afterwards: the host never blocks on

@@ -57,6 +57,15 @@ class CPFusedSpec:
     # == 0): the kernel consumes z/δ rows and emits per-ray composited
     # rows + per-sample weights, like ops/pallas/fused_mlp_t.py
     samples: int = 0
+    # interpolation basis construction:
+    #   "hat": B[j] = relu(1 - |xf - j|), tables packed raw (5 VPU passes)
+    #   "cum": B[j] = clamp(xf - j + 1, 0, 1), tables packed as first-order
+    #          differences A_cum[:, j] = A[:, j] - A[:, j-1] (A_cum[:, 0] =
+    #          A[:, 0]) — algebraically the same interpolant (the clamp
+    #          basis telescopes: Σ_j ΔA_j·c_{j-1} = lerp(A, xf)), but the
+    #          per-element basis build is 3 VPU passes, and values stay in
+    #          [0, 1] (bf16-safe)
+    basis: str = "hat"
     # "bfloat16" on TPU; "float32" in interpret mode (XLA:CPU cannot execute
     # large bf16 DotThunks: "Unsupported element type ... BF16 x BF16 = F32")
     dtype: str = "bfloat16"
@@ -72,19 +81,23 @@ class CPFusedSpec:
 
 
 def pack_cp_params(params: dict, field, lanes: int = LANES,
-                   dtype=jnp.bfloat16) -> dict:
+                   dtype=jnp.bfloat16, basis: str = "hat") -> dict:
     """Transpose/pad a TPUGridField param pytree for the fused kernel.
 
     All matrices are stored (out, in) so the kernel computes W @ x with
     x channels on sublanes. Head outputs are pre-placed into the packed
     8-row output space (0 σ, 1:4 rgb, 4:7 normal, 7 mirror) so the kernel
-    just sums matmul results.
+    just sums matmul results. With basis="cum" the axis tables are packed
+    as first-order differences (see CPFusedSpec.basis).
     """
     spec = field.cp_spec
     p = {}
     for a in range(3):
         for li, (g, r) in enumerate(spec.levels):
-            p[f"a{a}l{li}"] = params["grid"]["axes"][a][li].T.astype(dtype)
+            t = jnp.asarray(params["grid"]["axes"][a][li], jnp.float32).T
+            if basis == "cum":
+                t = jnp.concatenate([t[:, :1], t[:, 1:] - t[:, :-1]], axis=1)
+            p[f"a{a}l{li}"] = t.astype(dtype)
     p["fold"] = params["grid"]["fold"].T.astype(dtype)  # (32, ΣR)
     s = params["sigma_net"]
     p["s1"] = s[0]["w"].T.astype(dtype)  # (64, 32)
@@ -128,6 +141,17 @@ def _hat_basis(x01_row, g: int, dtype=jnp.bfloat16):
     return jnp.maximum(0.0, 1.0 - jnp.abs(xf - j)).astype(dtype)
 
 
+def _cum_basis(x01_row, g: int, dtype=jnp.bfloat16):
+    """(1, L) coords in [0,1] -> (G, L) clamped-ramp basis: row j =
+    clamp(xf - j + 1, 0, 1). Row 0 is constant 1 (xf >= 0). Against
+    difference-packed tables this computes the identical linear
+    interpolant in 3 elementwise passes instead of 5."""
+    xf = jnp.clip(x01_row, 0.0, 1.0) * (g - 1)
+    j = jax.lax.broadcasted_iota(
+        jnp.int32, (g, x01_row.shape[-1]), 0).astype(jnp.float32)
+    return jnp.clip(xf - j + 1.0, 0.0, 1.0).astype(dtype)
+
+
 def _sh4_rows(d):
     """Real SH degrees 1..4 of (3, L) dirs -> (16, L).
 
@@ -165,11 +189,12 @@ def _field_rows(spec: CPFusedSpec, w, x3, d3):
     """Shared field evaluation: (3, L) coords/dirs -> (σ (1,L) fp32,
     final rows (8, L) or None when sigma_only)."""
     bf = spec.jdtype
+    basis_fn = _cum_basis if spec.basis == "cum" else _hat_basis
     per_level = []
     for li, (g, r) in enumerate(spec.levels):
         prod = None
         for a in range(3):
-            basis = _hat_basis(x3[a:a + 1, :], g, bf)
+            basis = basis_fn(x3[a:a + 1, :], g, bf)
             f = _mm(w[f"a{a}l{li}"][...], basis)  # (R, L) fp32
             prod = f if prod is None else prod * f
         per_level.append(prod.astype(bf))
@@ -337,6 +362,7 @@ def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
         predict_mirror_mask=field.predict_mirror_mask,
         dtype="float32" if interpret else "bfloat16",
         lanes=lanes, samples=s,
+        basis=os.environ.get("MNERF_CP_BASIS", "hat"),
     )
     rpb = spec.rays_per_block
     n_pad = (n + rpb - 1) // rpb * rpb
@@ -358,7 +384,7 @@ def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
     z_row = _axis_blocks([z], spec.lanes)
     dl_row = _axis_blocks([deltas], spec.lanes)
     packed = pack_cp_params(params, field, lanes=spec.lanes,
-                            dtype=spec.jdtype)
+                            dtype=spec.jdtype, basis=spec.basis)
     per_ray, wts = fused_cp_forward_composite(packed, x3, d3, z_row, dl_row,
                                               spec, interpret=interpret)
     res = {"weights": wts.reshape(-1)[:n * s].reshape(n, s)}
@@ -411,6 +437,7 @@ def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
         predict_mirror_mask=field.predict_mirror_mask,
         dtype="float32" if interpret else "bfloat16",
         lanes=lanes or int(os.environ.get("MNERF_CP_LANES", LANES)),
+        basis=os.environ.get("MNERF_CP_BASIS", "hat"),
     )
     inv2b = 1.0 / (2.0 * field.bound)
     x3 = _axis_blocks(
@@ -423,7 +450,7 @@ def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
             [jnp.broadcast_to(view_dirs[:, a:a + 1], (n, s))
              for a in range(3)], spec.lanes)
     packed = pack_cp_params(params, field, lanes=spec.lanes,
-                            dtype=spec.jdtype)
+                            dtype=spec.jdtype, basis=spec.basis)
     out = fused_cp_forward(packed, x3, d3, spec, interpret=interpret)
     # (NB, 8, L) -> (8, T): move the 8 channel rows out, flatten blocks
     # (whole-L-row moves only; rgb/normal stay CHANNEL-major — a .T back to

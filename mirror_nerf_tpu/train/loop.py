@@ -350,6 +350,14 @@ class Trainer:
 
 # ---- full-image rendering (val/eval) --------------------------------------
 
+# jitted render fns keyed by (field, output keys[, "k"]) — see
+# render_image_chunked
+_RENDER_JIT_CACHE: dict = {}
+# working chunk size per (field, ts, mesh size, megabatch): failed compiles
+# (libtpu regalloc RET_CHECKs at large chunks) are not cached by jax, so
+# re-probing would re-pay the failed compile on every call
+_GOOD_CHUNK: dict = {}
+
 
 def render_image_chunked(field, params, rays: np.ndarray,
                          mirror_mask: Optional[np.ndarray],
@@ -384,15 +392,25 @@ def render_image_chunked(field, params, rays: np.ndarray,
         meg = 4 if jax.default_backend() == "tpu" else 1
     meg = max(min(meg, (n + chunk - 1) // chunk), 1)
 
+    gc_key = (field, ts, mesh.devices.size if mesh is not None else 0, meg)
+    chunk = min(_GOOD_CHUNK.get(gc_key, chunk), chunk)
+
     put = (lambda x: jax.device_put(x, batch_sharding(mesh))) if mesh is not None \
         else jnp.asarray
     put_blocks = (lambda x: jax.device_put(x, block_sharding(mesh))) \
         if mesh is not None else jnp.asarray
 
-    traced = jax.jit(
-        functools.partial(trace_rays, field),
-        static_argnames=("ts",),
-    )
+    # jit wrappers are memoized per (field, keys): a fresh jax.jit each call
+    # would retrace (and re-pay any failed-compile probe) on every epoch's
+    # val render. Fields are frozen dataclasses — hashable cache keys.
+    jit_key = (field, tuple(keys))
+    traced = _RENDER_JIT_CACHE.get(jit_key)
+    if traced is None:
+        traced = jax.jit(
+            functools.partial(trace_rays, field),
+            static_argnames=("ts",),
+        )
+        _RENDER_JIT_CACHE[jit_key] = traced
 
     def _pad_chunk(start):
         end = min(start + chunk, n)
@@ -406,14 +424,17 @@ def render_image_chunked(field, params, rays: np.ndarray,
         return r, m
 
     if meg > 1:
-        def traced_k(params, rays_k, mask_k, keys_k, ts):
-            def body(t):
-                res = trace_rays(field, params, t[0], t[1], t[2], ts)
-                return {k: res[k] for k in keys if k in res}
+        jit_k = _RENDER_JIT_CACHE.get(jit_key + ("k",))
+        if jit_k is None:
+            def traced_k(params, rays_k, mask_k, keys_k, ts):
+                def body(t):
+                    res = trace_rays(field, params, t[0], t[1], t[2], ts)
+                    return {k: res[k] for k in keys if k in res}
 
-            return jax.lax.map(body, (rays_k, mask_k, keys_k))
+                return jax.lax.map(body, (rays_k, mask_k, keys_k))
 
-        jit_k = jax.jit(traced_k, static_argnames=("ts",))
+            jit_k = jax.jit(traced_k, static_argnames=("ts",))
+            _RENDER_JIT_CACHE[jit_key + ("k",)] = jit_k
         pend = []
         try:
             for g in range(0, n, chunk * meg):
@@ -435,6 +456,7 @@ def render_image_chunked(field, params, rays: np.ndarray,
                     field, params, rays, mirror_mask, rng, ts, chunk // 2,
                     keys, mesh, megabatch)
             raise
+        _GOOD_CHUNK[gc_key] = chunk
         outs = {}
         for g, res in pend:
             valid = min(chunk * meg, n - g)
@@ -461,6 +483,7 @@ def render_image_chunked(field, params, rays: np.ndarray,
                     field, params, rays, mirror_mask, rng, ts, chunk // 2,
                     keys, mesh)
             raise
+        _GOOD_CHUNK[gc_key] = chunk
         for k in keys:
             if k in res:
                 v = np.asarray(res[k])

@@ -110,3 +110,40 @@ def test_fused_cp_sigma_only(setup):
     sig_ref, *_ = _reference(field, params, o, d, z)
     assert set(res.keys()) == {"sigma"}
     np.testing.assert_allclose(np.asarray(res["sigma"]), sig_ref, atol=3e-2)
+
+
+def test_cum_basis_matches_hat(setup):
+    """The clamped-ramp ("cum") basis with difference-packed tables computes
+    the same interpolant as the hat basis (exactly, up to dtype rounding)."""
+    import os
+
+    field, params, o, d, z = setup
+    res_hat = fused_cp_rays_eval(field, params, o, d, d, z, interpret=True)
+    os.environ["MNERF_CP_BASIS"] = "cum"
+    try:
+        res_cum = fused_cp_rays_eval(field, params, o, d, d, z,
+                                     interpret=True)
+    finally:
+        del os.environ["MNERF_CP_BASIS"]
+    for k in res_hat:
+        np.testing.assert_allclose(np.asarray(res_cum[k]),
+                                   np.asarray(res_hat[k]), atol=2e-5,
+                                   err_msg=k)
+
+
+def test_cum_basis_composite_matches(setup):
+    import os
+
+    from mirror_nerf_tpu.ops.pallas.fused_cp import fused_cp_rays_composite
+
+    field, params, o, d, z = setup
+    ref = fused_cp_rays_composite(field, params, o, d, d, z, interpret=True)
+    os.environ["MNERF_CP_BASIS"] = "cum"
+    try:
+        got = fused_cp_rays_composite(field, params, o, d, d, z,
+                                      interpret=True)
+    finally:
+        del os.environ["MNERF_CP_BASIS"]
+    for k in ("rgb", "depth", "opacity", "mirror", "weights"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=2e-5, err_msg=k)

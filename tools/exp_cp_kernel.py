@@ -21,7 +21,14 @@ def main():
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--lanes", type=int, nargs="+",
                    default=[512, 1024, 2048, 4096])
+    p.add_argument("--level_sets", type=str, nargs="+",
+                   default=["full", "no512", "64only"])
+    p.add_argument("--sigma_only", type=int, nargs="+", default=[0, 1])
     args = p.parse_args()
+
+    from mirror_nerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -42,6 +49,7 @@ def main():
         "no512": tuple(field.grid_levels[:-1]),
         "64only": (field.grid_levels[0],),
     }
+    level_sets = {k: v for k, v in level_sets.items() if k in args.level_sets}
 
     for lanes in args.lanes:
         nb = t // lanes
@@ -50,10 +58,12 @@ def main():
         d3 = jax.random.normal(jax.random.PRNGKey(2), (nb, 3, lanes),
                                jnp.float32)
         for lname, levels in level_sets.items():
-            for so in (False, True):
-                spec = CPFusedSpec(levels=levels, sigma_only=so, lanes=lanes)
+            for so in [bool(s) for s in args.sigma_only]:
+                basis = os.environ.get("MNERF_CP_BASIS", "hat")
+                spec = CPFusedSpec(levels=levels, sigma_only=so, lanes=lanes,
+                                   basis=basis)
                 packed = pack_cp_params(params, field, lanes=lanes,
-                                        dtype=spec.jdtype)
+                                        dtype=spec.jdtype, basis=basis)
                 # drop packed entries for missing levels; slice fold to match
                 packed = {k: v for k, v in packed.items()
                           if not (k[0] == "a" and "l" in k[:4]
