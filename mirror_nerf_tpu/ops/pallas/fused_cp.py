@@ -250,17 +250,19 @@ def _kernel_composite(spec: CPFusedSpec, names, x_ref, d_ref, z_ref, dl_ref,
     fused_mlp_t._kernel for the TRI/SUM construction)."""
     w = {n: r for n, r in zip(names, refs[:len(names)])}
     if spec.sigma_only:
-        tri = refs[len(names)]
         wts_ref = refs[-1]
     else:
-        tri, summ = refs[len(names):len(names) + 2]
+        summ = refs[len(names)]
         out_ref, wts_ref = refs[-2], refs[-1]
     x3 = x_ref[0]
     sigma, rows = _field_rows(spec, w, x3, d_ref[0])
 
+    # per-ray exclusive prefix via the segmented roll scan (the TRI matmul
+    # it replaced ran at 1/128 MXU row utilization — fused_mlp_t._prefix_weights)
+    from .fused_mlp_t import _prefix_weights
+
     sd = dl_ref[0] * jnp.maximum(sigma, 0.0)  # (1, L)
-    cum = _mm(sd.astype(jnp.float32), tri[...])
-    wts = jnp.exp(-cum) * (1.0 - jnp.exp(-sd))
+    wts = _prefix_weights(sd, spec.samples)
     wts_ref[0] = wts
     if spec.sigma_only:
         return
@@ -300,16 +302,16 @@ def fused_cp_forward_composite(packed: dict, x3, d3, z_row, dl_row,
                                spec: CPFusedSpec, interpret: bool = False):
     """Composite mode: returns (per_ray (NB, 16, R) or None,
     weights (NB, 1, L))."""
-    from .fused_mlp_t import _tri_sum_consts
+    from .fused_mlp_t import _sum_const
 
     nb, _, lanes = x3.shape
     assert lanes == spec.lanes
     r = spec.rays_per_block
     names = sorted(packed.keys())
-    tri, summ = _tri_sum_consts(lanes, spec.samples)
-    consts = [jnp.asarray(tri, spec.jdtype)]
+    consts = []
     if not spec.sigma_only:
-        consts.append(jnp.asarray(summ, spec.jdtype))
+        consts.append(jnp.asarray(_sum_const(lanes, spec.samples),
+                                  spec.jdtype))
     blk3 = pl.BlockSpec((1, 3, lanes), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     blk1 = pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),

@@ -84,17 +84,37 @@ def _enc_consts_t(in_dim: int, n_freqs: int, rows: int):
     return E, ph
 
 
-def _tri_sum_consts(lanes: int, s: int):
-    """TRI (lanes, lanes): strictly-lower block-diagonal per-ray triangular
-    (TRI[j, i] = 1 if same ray and j < i) so  cum = sd @ TRI  is the
-    exclusive per-ray prefix sum. SUM (lanes, R): block column matrix for
-    per-ray sums."""
+def _sum_const(lanes: int, s: int):
+    """SUM (lanes, R): block column matrix for per-ray sums —
+    pmap = (vals ⊙ w) @ SUM."""
+    jl = np.arange(lanes)
     r = lanes // s
-    j = np.arange(lanes)
-    tri = ((j[:, None] // s == j[None, :] // s)
-           & (j[:, None] < j[None, :])).astype(np.float32)
-    summ = (j[:, None] // s == np.arange(r)[None, :]).astype(np.float32)
-    return tri, summ
+    return (jl[:, None] // s == np.arange(r)[None, :]).astype(np.float32)
+
+
+def _prefix_weights(sd, s: int):
+    """sd (1, L) = δ·relu(σ) -> per-sample compositing weights (1, L):
+    w_i = exp(−Σ_{j<i, same ray} sd_j)·(1 − exp(−sd_i)).
+
+    The per-ray exclusive prefix is a segmented Hillis-Steele scan via
+    lane rotations: ceil(log2(s)) masked roll-adds (~20 VPU row ops, no
+    MXU work). This replaced a constant (lanes, lanes) block-diagonal
+    triangular matmul, which — at M=1 — ran at 1/128 systolic-row
+    utilization and measured as the entire composite-mode overhead
+    (~1.6 ns/sample, tools/exp_cp_composite.py). The rotate's wraparound
+    is masked: a lane with pos % s < k would pull from a previous ray (or
+    wrap around the row), and the pos >= k mask excludes exactly those.
+    """
+    lanes = sd.shape[-1]
+    x = sd.astype(jnp.float32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % s
+    incl = x
+    k = 1
+    while k < s:
+        incl = incl + jnp.where(pos >= k, pltpu.roll(incl, k, 1), 0.0)
+        k *= 2
+    cum = incl - x  # exclusive per-ray prefix
+    return jnp.exp(-cum) * (1.0 - jnp.exp(-x))
 
 
 def pack_t_params(params: dict, spec: TSpec, in_xyz: int, in_dir: int,
@@ -172,10 +192,10 @@ def _kernel(spec: TSpec, names, x_ref, d_ref, z_ref, dl_ref, *refs):
     # refs = [*weights, *consts, *outputs]
     w = {n: r for n, r in zip(names, refs[:len(names)])}
     if spec.sigma_only:
-        E, ph, tri = refs[len(names):len(names) + 3]
+        E, ph = refs[len(names):len(names) + 2]
         wts_ref = refs[-1]
     else:
-        E, ph, Ed, phd, tri, summ = refs[len(names):len(names) + 6]
+        E, ph, Ed, phd, summ = refs[len(names):len(names) + 5]
         out_ref, wts_ref = refs[-2], refs[-1]
     bf = spec.jdtype
 
@@ -191,11 +211,10 @@ def _kernel(spec: TSpec, names, x_ref, d_ref, z_ref, dl_ref, *refs):
     out = _mm(w["wsig"][...], h) + w["obias"][...]  # (8, L), row 0 = σ raw
     sigma = out[0:1, :]
 
-    # in-kernel compositing: sd = δ·relu(σ); T = exp(−sd @ TRI); w = T·α
+    # in-kernel compositing: sd = δ·relu(σ); per-ray exclusive prefix via
+    # the segmented roll scan (see _prefix_weights)
     sd = dl_ref[0] * jnp.maximum(sigma, 0.0)  # (1, L) fp32
-    cum = _mm(sd.astype(jnp.float32), tri[...])
-    trans = jnp.exp(-cum)
-    wts = trans * (1.0 - jnp.exp(-sd))  # (1, L)
+    wts = _prefix_weights(sd, spec.samples)  # (1, L)
     wts_ref[0] = wts
 
     if spec.sigma_only:
@@ -238,14 +257,11 @@ def fused_t_forward(packed: dict, x3, d3, z_row, dl_row, spec: TSpec,
     r = spec.rays_per_block
     names = sorted(packed.keys())
     E, ph = _enc_consts_t(3, spec.n_emb_xyz, 128)
-    tri, summ = _tri_sum_consts(lanes, s)
     consts = [jnp.asarray(E), jnp.asarray(ph)]
     if not spec.sigma_only:
         Ed, phd = _enc_consts_t(3, spec.n_emb_dir, 128)
         consts += [jnp.asarray(Ed), jnp.asarray(phd)]
-    consts.append(jnp.asarray(tri, spec.jdtype))
-    if not spec.sigma_only:
-        consts.append(jnp.asarray(summ, spec.jdtype))
+        consts.append(jnp.asarray(_sum_const(lanes, s), spec.jdtype))
 
     blk3 = pl.BlockSpec((1, 3, lanes), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
