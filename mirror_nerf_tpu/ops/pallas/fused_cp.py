@@ -69,6 +69,21 @@ class CPFusedSpec:
     # "bfloat16" on TPU; "float32" in interpret mode (XLA:CPU cannot execute
     # large bf16 DotThunks: "Unsupported element type ... BF16 x BF16 = F32")
     dtype: str = "bfloat16"
+    # Measurement-only stage ablations (tools/exp_cp_ablate.py) — wrong
+    # numerics, same shapes/op structure. Every variant stays data-dependent
+    # on the inputs so nothing constant-folds:
+    #   "const_basis": 1-pass basis build (isolates the basis VPU cost)
+    #   "const_feats": skip basis+tables+product (isolates the encoder)
+    #   "enc_only":    encoder only, σ = feats row 0 (with sigma_only)
+    #   "io":          σ = x row 0 — the pallas_call I/O + overhead floor
+    ablate: str = ""
+    # Composite mode with per-RAY inputs: consume (9, R) rows (pre-scaled
+    # origin, pre-scaled dir, view dir) + the (1, L) z row, and build the
+    # per-sample x3/d3/δ in VMEM (segment-expand matmul + roll difference).
+    # Cuts the kernel's per-sample input traffic from 32 B to ~4 B and
+    # removes the adapter's out-of-kernel x3/d3 builds (the io floor was
+    # 26% of kernel time — BASELINE.md stage budget).
+    ray_inputs: bool = False
 
     @property
     def jdtype(self):
@@ -189,16 +204,33 @@ def _field_rows(spec: CPFusedSpec, w, x3, d3):
     """Shared field evaluation: (3, L) coords/dirs -> (σ (1,L) fp32,
     final rows (8, L) or None when sigma_only)."""
     bf = spec.jdtype
+    lanes = x3.shape[-1]
+    if spec.ablate == "io":
+        return x3[0:1, :].astype(jnp.float32), None
     basis_fn = _cum_basis if spec.basis == "cum" else _hat_basis
-    per_level = []
-    for li, (g, r) in enumerate(spec.levels):
-        prod = None
-        for a in range(3):
-            basis = basis_fn(x3[a:a + 1, :], g, bf)
-            f = _mm(w[f"a{a}l{li}"][...], basis)  # (R, L) fp32
-            prod = f if prod is None else prod * f
-        per_level.append(prod.astype(bf))
-    feats = jnp.concatenate(per_level, axis=0)  # (ΣR, L)
+    if spec.ablate == "const_feats":
+        sr = sum(r for _, r in spec.levels)
+        ramp = jax.lax.broadcasted_iota(
+            jnp.int32, (sr, lanes), 0).astype(jnp.float32)
+        feats = (ramp * 0.001 + x3[0:1, :]).astype(bf)
+    else:
+        per_level = []
+        for li, (g, r) in enumerate(spec.levels):
+            prod = None
+            for a in range(3):
+                if spec.ablate == "const_basis":
+                    ramp = jax.lax.broadcasted_iota(
+                        jnp.int32, (g, lanes), 0).astype(jnp.float32)
+                    basis = (ramp * 0.001 + x3[a:a + 1, :]).astype(bf)
+                else:
+                    basis = basis_fn(x3[a:a + 1, :], g, bf)
+                f = _mm(w[f"a{a}l{li}"][...], basis)  # (R, L) fp32
+                prod = f if prod is None else prod * f
+            per_level.append(prod.astype(bf))
+        feats = jnp.concatenate(per_level, axis=0)  # (ΣR, L)
+    if spec.ablate == "enc_only":
+        # sum over ALL feature rows so Mosaic cannot dead-code the tables
+        return jnp.sum(feats.astype(jnp.float32), 0, keepdims=True), None
 
     h = _mm(w["fold"][...], feats).astype(bf)  # (32, L)
     h = jnp.maximum(_mm(w["s1"][...], h), 0.0).astype(bf)
