@@ -304,6 +304,90 @@ def _kernel_composite(spec: CPFusedSpec, names, x_ref, d_ref, z_ref, dl_ref,
     out_ref[0] = jnp.pad(pmap, ((0, 16 - pmap.shape[0]), (0, 0)))
 
 
+def _kernel_composite_rays(spec: CPFusedSpec, names, od_ref, z_ref, *refs):
+    """Composite mode with per-RAY inputs: od (9, R) rows are
+    [o' = (o+bound)/2bound, d' = d/2bound, view dir]; x3/d3/δ are built in
+    VMEM. The segment-expand (ray r -> its S lanes) is an exact one-hot
+    fp32 matmul (BCAST = SUM^T), and δ is a within-ray forward difference
+    of z via one lane rotation."""
+    from .fused_mlp_t import _prefix_weights
+
+    w = {n: r for n, r in zip(names, refs[:len(names)])}
+    if spec.sigma_only:
+        bcast = refs[len(names)]
+        wts_ref = refs[-1]
+    else:
+        bcast, summ = refs[len(names):len(names) + 2]
+        out_ref, wts_ref = refs[-2], refs[-1]
+    z = z_ref[0]  # (1, L)
+    seg = _mm(od_ref[0], bcast[...])  # (9, L) fp32, exact (one-hot)
+    x3 = seg[0:3, :] + seg[3:6, :] * z  # already scaled to [0, 1]
+    sigma, rows = _field_rows(spec, w, x3, seg[6:9, :])
+
+    lanes = z.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % spec.samples
+    # z[i+1] via a cyclic rotate (pltpu.roll wants non-negative shifts:
+    # left-by-1 == right-by-(lanes-1)); the wrapped lane is masked to 1e10
+    dl = jnp.where(pos == spec.samples - 1, 1e10,
+                   pltpu.roll(z, lanes - 1, 1) - z)
+    sd = dl * jnp.maximum(sigma, 0.0)
+    wts = _prefix_weights(sd, spec.samples)
+    wts_ref[0] = wts
+    if spec.sigma_only:
+        return
+    vals = jnp.concatenate(
+        [jnp.ones_like(sigma), rows[1:8, :], z], axis=0)  # (9, L)
+    pmap = _mm((vals * wts).astype(jnp.float32), summ[...])  # (9, R)
+    out_ref[0] = jnp.pad(pmap, ((0, 16 - pmap.shape[0]), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def fused_cp_forward_composite_rays(packed: dict, od, z_row,
+                                    spec: CPFusedSpec,
+                                    interpret: bool = False):
+    """Ray-input composite mode: od (NB, 9, R) per-ray rows + z (NB, 1, L).
+    Returns (per_ray (NB, 16, R) or None, weights (NB, 1, L))."""
+    from .fused_mlp_t import _sum_const
+
+    nb, nine, r = od.shape
+    assert nine == 9 and r == spec.rays_per_block
+    lanes = spec.lanes
+    names = sorted(packed.keys())
+    summ_np = _sum_const(lanes, spec.samples)
+    consts = [jnp.asarray(summ_np.T.copy(), jnp.float32)]  # BCAST (R, L)
+    if not spec.sigma_only:
+        consts.append(jnp.asarray(summ_np, spec.jdtype))
+    blk_od = pl.BlockSpec((1, 9, r), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    w_specs = [pl.BlockSpec(packed[nm].shape,
+                            (lambda i: (0, 0)) if packed[nm].ndim == 2
+                            else (lambda i: (0,)),
+                            memory_space=pltpu.VMEM) for nm in names]
+    c_specs = [pl.BlockSpec(c.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM) for c in consts]
+    kern = functools.partial(_kernel_composite_rays, spec, names)
+    wts_shape = jax.ShapeDtypeStruct((nb, 1, lanes), jnp.float32)
+    wts_spec = pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    ins = [od, z_row, *[packed[nm] for nm in names], *consts]
+    in_specs = [blk_od, blk1, *w_specs, *c_specs]
+    if spec.sigma_only:
+        wts = pl.pallas_call(kern, grid=(nb,), in_specs=in_specs,
+                             out_specs=wts_spec, out_shape=wts_shape,
+                             interpret=interpret)(*ins)
+        return None, wts
+    per_ray, wts = pl.pallas_call(
+        kern, grid=(nb,), in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, 16, r), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), wts_spec],
+        out_shape=[jax.ShapeDtypeStruct((nb, 16, r), jnp.float32),
+                   wts_shape],
+        interpret=interpret)(*ins)
+    return per_ray, wts
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "interpret"))
 def fused_cp_forward(packed: dict, x3: jnp.ndarray, d3: jnp.ndarray,
                      spec: CPFusedSpec, interpret: bool = False):
@@ -390,6 +474,7 @@ def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
     lanes = lanes or int(os.environ.get("MNERF_CP_LANES", LANES))
     if lanes % s != 0:
         lanes = s * max(1, lanes // s)
+    ray_inputs = os.environ.get("MNERF_CP_RAYMODE", "1") != "0"
     spec = CPFusedSpec(
         levels=tuple(field.grid_levels), sigma_only=sigma_only,
         predict_normal=field.predict_normal,
@@ -397,6 +482,7 @@ def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
         dtype="float32" if interpret else "bfloat16",
         lanes=lanes, samples=s,
         basis=os.environ.get("MNERF_CP_BASIS", "hat"),
+        ray_inputs=ray_inputs,
     )
     rpb = spec.rays_per_block
     n_pad = (n + rpb - 1) // rpb * rpb
@@ -406,21 +492,31 @@ def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
     v = jnp.pad(view_dirs.astype(jnp.float32), pad2)
     z = jnp.pad(z_vals.astype(jnp.float32), ((0, n_pad - n), (0, 0)),
                 constant_values=1.0)
-    deltas = jnp.concatenate(
-        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
     inv2b = 1.0 / (2.0 * field.bound)
-    x3 = _axis_blocks(
-        [(o[:, a:a + 1] + d[:, a:a + 1] * z + field.bound) * inv2b
-         for a in range(3)], spec.lanes)
-    d3 = (jnp.zeros_like(x3) if sigma_only else _axis_blocks(
-        [jnp.broadcast_to(v[:, a:a + 1], (n_pad, s)) for a in range(3)],
-        spec.lanes))
     z_row = _axis_blocks([z], spec.lanes)
-    dl_row = _axis_blocks([deltas], spec.lanes)
     packed = pack_cp_params(params, field, lanes=spec.lanes,
                             dtype=spec.jdtype, basis=spec.basis)
-    per_ray, wts = fused_cp_forward_composite(packed, x3, d3, z_row, dl_row,
-                                              spec, interpret=interpret)
+    if ray_inputs:
+        # per-ray (NB, 9, R) rows: scaled origin, scaled dir, view dir —
+        # x3/d3/δ are built inside the kernel (32 B/sample -> ~4 B/sample)
+        od = _axis_blocks(
+            [(o[:, a] + field.bound) * inv2b for a in range(3)]
+            + [d[:, a] * inv2b for a in range(3)]
+            + [v[:, a] for a in range(3)], rpb)
+        per_ray, wts = fused_cp_forward_composite_rays(
+            packed, od, z_row, spec, interpret=interpret)
+    else:
+        deltas = jnp.concatenate(
+            [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
+        x3 = _axis_blocks(
+            [(o[:, a:a + 1] + d[:, a:a + 1] * z + field.bound) * inv2b
+             for a in range(3)], spec.lanes)
+        d3 = (jnp.zeros_like(x3) if sigma_only else _axis_blocks(
+            [jnp.broadcast_to(v[:, a:a + 1], (n_pad, s)) for a in range(3)],
+            spec.lanes))
+        dl_row = _axis_blocks([deltas], spec.lanes)
+        per_ray, wts = fused_cp_forward_composite(
+            packed, x3, d3, z_row, dl_row, spec, interpret=interpret)
     res = {"weights": wts.reshape(-1)[:n * s].reshape(n, s)}
     if not sigma_only:
         pr = per_ray.transpose(1, 0, 2).reshape(16, -1)[:, :n]

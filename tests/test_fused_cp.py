@@ -112,6 +112,37 @@ def test_fused_cp_sigma_only(setup):
     np.testing.assert_allclose(np.asarray(res["sigma"]), sig_ref, atol=3e-2)
 
 
+def test_composite_ray_inputs_match_sample_inputs(setup):
+    """Ray-input composite kernel (x3/d3/δ built in VMEM from per-ray rows)
+    vs the sample-input composite kernel."""
+    import os
+
+    from mirror_nerf_tpu.ops.pallas.fused_cp import fused_cp_rays_composite
+
+    field, params, o, d, z = setup
+    ray = fused_cp_rays_composite(field, params, o, d, d, z, interpret=True)
+    os.environ["MNERF_CP_RAYMODE"] = "0"
+    try:
+        smp = fused_cp_rays_composite(field, params, o, d, d, z,
+                                      interpret=True)
+    finally:
+        del os.environ["MNERF_CP_RAYMODE"]
+    for k in ("rgb", "depth", "opacity", "mirror", "weights"):
+        np.testing.assert_allclose(np.asarray(ray[k]), np.asarray(smp[k]),
+                                   atol=1e-4, err_msg=k)
+
+    rs = fused_cp_rays_composite(field, params, o, d, d, z,
+                                 sigma_only=True, interpret=True)
+    os.environ["MNERF_CP_RAYMODE"] = "0"
+    try:
+        ss = fused_cp_rays_composite(field, params, o, d, d, z,
+                                     sigma_only=True, interpret=True)
+    finally:
+        del os.environ["MNERF_CP_RAYMODE"]
+    np.testing.assert_allclose(np.asarray(rs["weights"]),
+                               np.asarray(ss["weights"]), atol=1e-4)
+
+
 def test_cum_basis_matches_hat(setup):
     """The clamped-ramp ("cum") basis with difference-packed tables computes
     the same interpolant as the hat basis (exactly, up to dtype rounding)."""
