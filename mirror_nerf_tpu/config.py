@@ -130,6 +130,12 @@ class Config:
     # rematerialize the traced render in the backward pass (trades ~1 extra
     # forward for O(1) activation memory — enables larger train batches)
     use_remat: bool = False
+    # train steps per dispatch: lax.scan over K sequential optimizer steps
+    # inside one jit call — identical math/trajectory to K single-step
+    # dispatches (same batches, same per-step rng keys); only the
+    # per-dispatch tunnel latency (~30-40 ms on remote attachments)
+    # amortizes. 0 = auto (8 on TPU, 1 elsewhere)
+    steps_per_dispatch: int = 0
     seed: int = 1
     mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on one axis
     param_dtype: str = "float32"
@@ -242,6 +248,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # TPU-specific
     p.add_argument("--compact_frac", type=float, default=d.compact_frac)
     p.add_argument("--use_remat", action="store_true", default=False)
+    p.add_argument("--steps_per_dispatch", type=int,
+                   default=d.steps_per_dispatch)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--param_dtype", type=str, default=d.param_dtype)
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype)

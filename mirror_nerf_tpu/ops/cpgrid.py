@@ -90,20 +90,51 @@ def _lerp_rows(table: jnp.ndarray, x01: jnp.ndarray,
     return a * (1.0 - w) + b * w
 
 
+def _lerp_rows_dense(table: jnp.ndarray, x01: jnp.ndarray,
+                     compute_dtype) -> jnp.ndarray:
+    """The same interpolated rows as `_lerp_rows`, evaluated as a hat-basis
+    MATMUL: B[n,j] = max(0, 1 − |x_n·(G−1) − j|) (built in fp32, at most two
+    nonzeros per row) and rows = B @ table. Identical math to the paired
+    take (for x ∈ [0,1] the two hat weights ARE (1−w, w) at (xi, xi+1)),
+    but both the forward and every derivative XLA needs are matmuls:
+        d table = Bᵀ @ d rows      (the gather path lowers this to
+                                    scatter-add, which is index-rate-bound
+                                    on TPU — BASELINE.md microbenchmarks)
+        d x     = (d rows · table) contracted with the hat slope
+    This is the differentiable XLA analog of the fused eval kernel's
+    in-VMEM basis matmul (ops/pallas/fused_cp.py) and is what training uses
+    on TPU; `_lerp_rows` remains for CPU tests / tiny batches.
+    """
+    g = table.shape[0]
+    xf = jnp.clip(x01, 0.0, 1.0).astype(jnp.float32) * (g - 1)
+    j = jnp.arange(g, dtype=jnp.float32)
+    basis = jnp.maximum(0.0, 1.0 - jnp.abs(xf[:, None] - j[None, :]))
+    return jnp.dot(basis.astype(compute_dtype), table.astype(compute_dtype),
+                   preferred_element_type=compute_dtype)
+
+
 def cpgrid_encode(params: dict, x01: jnp.ndarray, spec: CPGridSpec,
-                  compute_dtype=jnp.float32) -> jnp.ndarray:
+                  compute_dtype=jnp.float32, lookup: str = "auto"
+                  ) -> jnp.ndarray:
     """(N, input_dim) in [0,1] -> (N, n_features).
 
     Out-of-[0,1] inputs are clamped to the boundary (the hash grid maps them
     to zero features; for CP the clamp is the natural choice — the boundary
     rows are trained, and σ there is driven to empty by the data itself).
+
+    lookup: "gather" = paired jnp.take (backward scatter-add);
+            "dense"  = hat-basis matmul (backward matmul — the TPU path);
+            "auto"   = dense on TPU, gather elsewhere.
     """
+    if lookup == "auto":
+        lookup = "dense" if jax.default_backend() == "tpu" else "gather"
+    rows_fn = _lerp_rows_dense if lookup == "dense" else _lerp_rows
     per_level = []
     for li in range(len(spec.levels)):
         prod = None
         for a in range(spec.input_dim):
-            rows = _lerp_rows(params["axes"][a][li], x01[:, a],
-                              compute_dtype)
+            rows = rows_fn(params["axes"][a][li], x01[:, a],
+                           compute_dtype)
             prod = rows if prod is None else prod * rows
         per_level.append(prod)
     feats = jnp.concatenate(per_level, axis=-1)

@@ -178,7 +178,13 @@ class Trainer:
 
     # ---- compiled step construction ----
 
-    def _build_step(self, statics: EpochStatics):
+    def _build_step_fn(self, statics: EpochStatics):
+        """The raw (unjitted) train step for one epoch-statics combination.
+
+        Pure function of (params, opt_state, batch, rng) — reused verbatim by
+        the single-step jit (`_build_step`) and the K-steps-per-dispatch scan
+        (`_build_multi_step`), so the two paths compute identical math.
+        """
         cfg = self.cfg
         field = self.field
         tx = self.tx
@@ -254,6 +260,10 @@ class Trainer:
             aux["loss"] = loss
             return new_params, new_opt, aux
 
+        return step_fn
+
+    def _build_step(self, statics: EpochStatics):
+        step_fn = self._build_step_fn(statics)
         rep = replicated(self.mesh)
         bsh = batch_sharding(self.mesh)
         return jax.jit(
@@ -263,6 +273,46 @@ class Trainer:
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1),
         )
+
+    def _build_multi_step(self, statics: EpochStatics, k: int):
+        """K sequential train steps in ONE dispatch via lax.scan.
+
+        The scan body is exactly `_build_step_fn`'s step, so K scanned steps
+        compute the same params/opt trajectory as K single-step dispatches
+        with the same batches and rng keys; only the per-dispatch tunnel
+        latency (~30-40 ms on this attachment, BASELINE.md) amortizes.
+        Returns the LAST step's aux (the loop logs every `log_every` steps,
+        which stays a multiple of k).
+        """
+        step_fn = self._build_step_fn(statics)
+
+        def multi_fn(params, opt_state, batches_k, keys_k):
+            def body(carry, xt):
+                p, o = carry
+                batch, key = xt
+                p, o, aux = step_fn(p, o, batch, key)
+                return (p, o), aux
+
+            (params, opt_state), auxes = jax.lax.scan(
+                body, (params, opt_state), (batches_k, keys_k))
+            last = jax.tree_util.tree_map(lambda a: a[-1], auxes)
+            return params, opt_state, last
+
+        rep = replicated(self.mesh)
+        blk = block_sharding(self.mesh)
+        return jax.jit(
+            multi_fn,
+            in_shardings=(rep, rep, {"rays": blk, "rgbs": blk,
+                                     "mirror_mask": blk}, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def get_multi_step_fn(self, statics: EpochStatics, k: int):
+        ck = statics.key() + ("multi", k)
+        if ck not in self._step_cache:
+            self._step_cache[ck] = self._build_multi_step(statics, k)
+        return self._step_cache[ck]
 
     def get_step_fn(self, statics: EpochStatics):
         k = statics.key()
@@ -286,36 +336,81 @@ class Trainer:
         rays, rgbs, masks = self.dataset.train_buffers()
 
         statics = EpochStatics.of(cfg, epoch, geometry_stage)
-        step_fn = self.get_step_fn(statics)
         bsh = batch_sharding(self.mesh)
+        blk = block_sharding(self.mesh)
 
         from ..native import gather_batch
 
         n = len(rays)
         perm = np_rng.permutation(n)
         n_steps = n // cfg.batch_size
+
+        # steps per dispatch (lax.scan over K sequential optimizer steps in
+        # one jit — same trajectory, K× fewer dispatches; see
+        # _build_multi_step). 0 = auto: 8 on TPU, 1 elsewhere.
+        k_disp = int(cfg.steps_per_dispatch)
+        if k_disp <= 0:
+            k_disp = 8 if jax.default_backend() == "tpu" else 1
+        k_disp = max(min(k_disp, n_steps), 1)
+        step_fn = (self.get_step_fn(statics) if k_disp == 1
+                   else self.get_multi_step_fn(statics, k_disp))
+
+        def dispatch(s0: int, k: int, fn):
+            """Run steps s0..s0+k-1 (epoch-step indices) in one call."""
+            idx = perm[s0 * cfg.batch_size:(s0 + k) * cfg.batch_size]
+            b_rays, b_rgbs, b_masks = gather_batch(rays, rgbs, masks, idx)
+            if k == 1:
+                batch = {
+                    "rays": jax.device_put(b_rays, bsh),
+                    "rgbs": jax.device_put(b_rgbs, bsh),
+                    "mirror_mask": jax.device_put(b_masks, bsh),
+                }
+                rng = jax.random.fold_in(self.base_key, self.global_step)
+            else:
+                batch = {
+                    "rays": jax.device_put(
+                        b_rays.reshape(k, cfg.batch_size, -1), blk),
+                    "rgbs": jax.device_put(
+                        b_rgbs.reshape(k, cfg.batch_size, -1), blk),
+                    "mirror_mask": jax.device_put(
+                        b_masks.reshape(k, cfg.batch_size), blk),
+                }
+                rng = jnp.stack([
+                    jax.random.fold_in(self.base_key, self.global_step + j)
+                    for j in range(k)])
+            self.params, self.opt_state, aux = fn(
+                self.params, self.opt_state, batch, rng)
+            self.global_step += k
+            return aux
+
         last_aux = {}
         t0, t_skip = time.time(), 0
-        for s in range(n_steps):
-            idx = perm[s * cfg.batch_size:(s + 1) * cfg.batch_size]
-            b_rays, b_rgbs, b_masks = gather_batch(rays, rgbs, masks, idx)
-            batch = {
-                "rays": jax.device_put(b_rays, bsh),
-                "rgbs": jax.device_put(b_rgbs, bsh),
-                "mirror_mask": jax.device_put(b_masks, bsh),
-            }
-            rng = jax.random.fold_in(self.base_key, self.global_step)
-            self.params, self.opt_state, aux = step_fn(
-                self.params, self.opt_state, batch, rng)
-            self.global_step += 1
-            if s == 0:
+        s = 0
+        first = True
+        while s < n_steps:
+            if k_disp > 1 and s + k_disp <= n_steps:
+                aux = dispatch(s, k_disp, step_fn)
+                s += k_disp
+            elif k_disp > 1:
+                # tail: r (< k_disp) steps in one shorter scan — same body,
+                # memoized per length, so at most one extra compile per stage
+                r = n_steps - s
+                aux = dispatch(s, r, self.get_multi_step_fn(statics, r)
+                               if r > 1 else self.get_step_fn(statics))
+                s = n_steps
+            else:
+                aux = dispatch(s, 1, step_fn)
+                s += 1
+            if first:
                 # the first step of a new stage compiles (minutes on TPU);
                 # restart the throughput clock so rays_per_sec reports
                 # steady-state stepping, not compile time (fetch a value:
                 # on this attachment only fetches synchronize)
                 float(aux["loss"])
-                t0, t_skip = time.time(), 1
-            if s % log_every == 0 or s == n_steps - 1:
+                t0, t_skip = time.time(), s
+                first = False
+            if (s - k_disp) // max(log_every, 1) != s // max(log_every, 1) \
+                    or s >= n_steps:
                 last_aux = {k: float(v) for k, v in aux.items()}
                 last_aux["lr"] = float(self.lr_schedule(self.global_step))
                 self._log({"epoch": epoch, "step": self.global_step,

@@ -41,6 +41,49 @@ def test_cpgrid_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_cpgrid_dense_lookup_matches_gather():
+    """The hat-basis-matmul lookup (the TPU training path) is the same
+    interpolant as the paired-take lookup: values, table/fold gradients,
+    and the grad-of-grad input gradient (σ-normal path) all agree."""
+    spec = CPGridSpec(levels=((8, 4), (16, 4)), n_features=6)
+    params = init_cpgrid(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-0.2,
+                           maxval=1.2)
+    a = np.asarray(cpgrid_encode(params, x, spec, lookup="gather"))
+    b = np.asarray(cpgrid_encode(params, x, spec, lookup="dense"))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    # interior points only for derivative checks: at exact knots the two
+    # formulations pick different (equal-valued) subgradients
+    xi = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), minval=0.013,
+                            maxval=0.987)
+
+    def loss(p, mode):
+        return jnp.sum(cpgrid_encode(p, xi, spec, lookup=mode) ** 2)
+
+    ga = jax.grad(lambda p: loss(p, "gather"))(params)
+    gb = jax.grad(lambda p: loss(p, "dense"))(params)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(la, lb, rtol=1e-4, atol=1e-5)
+
+    def xgrad(mode):
+        f = lambda xx: jnp.sum(cpgrid_encode(params, xx, spec, lookup=mode))
+        return jax.grad(f)(xi)
+
+    np.testing.assert_allclose(xgrad("gather"), xgrad("dense"),
+                               rtol=1e-4, atol=1e-5)
+
+    # grad-of-grad (the normal-supervision second order) stays finite/equal
+    def gg(mode):
+        f = lambda xx: jnp.sum(cpgrid_encode(params, xx, spec, lookup=mode))
+        g = lambda xx: jnp.sum(jax.grad(f)(xx) ** 2)
+        return jax.grad(g)(xi)
+
+    np.testing.assert_allclose(gg("gather"), gg("dense"), rtol=1e-3,
+                               atol=1e-4)
+
+
 def test_cpgrid_differentiable_and_tv():
     spec = CPGridSpec(levels=((8, 4),), n_features=4)
     params = init_cpgrid(jax.random.PRNGKey(0), spec)
