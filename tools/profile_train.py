@@ -56,6 +56,7 @@ def main(argv=None):
                    help="steps per dispatch for the scan variant (0=skip)")
     p.add_argument("--geometry", action="store_true",
                    help="profile the geometry-stage step (no trace)")
+    p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--trace_out", type=str, default="",
                    help="if set, capture a profiler trace of 2 steps here")
     args = p.parse_args(argv)
@@ -80,7 +81,7 @@ def main(argv=None):
         only_trace_rays_in_mirrors=True, compact_frac=0.25,
         smooth_mirror_start_epoch=0, train_mirror_mask_start_epoch=0,
         train_normal_start_epoch=0, use_plane_consistent_loss=True,
-        lr=5e-4,
+        lr=5e-4, compute_dtype=args.compute_dtype,
     )
     rng = np.random.default_rng(0)
     ds = _FakeDataset(args.batch * 4, rng)
@@ -148,12 +149,47 @@ def main(argv=None):
             print("Trainer.get_multi_step_fn not available; skipping scan")
 
     if args.trace_out:
+        import collections
+        import glob
+        import gzip
+        import json
+
+        n_tr = 4
+        os.makedirs(args.trace_out, exist_ok=True)
         with jax.profiler.trace(args.trace_out):
-            for i in range(2):
+            for i in range(n_tr):
                 params, opt_state, aux = step(
                     params, opt_state, batches[i], jax.random.fold_in(key, i))
             float(aux["loss"])
-        print(f"trace written to {args.trace_out}")
+        tr = sorted(glob.glob(f"{args.trace_out}/**/*.trace.json.gz",
+                              recursive=True))[-1]
+        data = json.load(gzip.open(tr))
+        pids = {}
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+        dev_pids = {p for p, n in pids.items() if "TPU" in n}
+        agg = collections.Counter()
+        ops = collections.Counter()
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "X" and e.get("pid") in dev_pids:
+                full = e["name"]
+                name = full.split(".")[0][:55]
+                if name.startswith("jit_"):
+                    continue  # parent span; children carry op-level time
+                agg[name] += e.get("dur", 0)
+                ops[full[:70]] += e.get("dur", 0)
+        total = sum(agg.values())
+        print(f"device busy: {total / 1e3:.1f} ms / {n_tr} steps "
+              f"({total / 1e3 / n_tr:.1f} ms/step, batch {args.batch})")
+        for name, dur in agg.most_common(15):
+            print(f"  {dur / 1e3:8.2f} ms {100 * dur / max(total, 1):5.1f}%  "
+                  f"{name}")
+        print("top individual ops:")
+        for name, dur in ops.most_common(25):
+            print(f"  {dur / 1e3:8.2f} ms {100 * dur / max(total, 1):5.1f}%  "
+                  f"{name}")
+        print(f"trace: {tr}")
 
 
 if __name__ == "__main__":
