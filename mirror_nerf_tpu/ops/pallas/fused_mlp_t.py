@@ -108,12 +108,18 @@ def _prefix_weights(sd, s: int):
     lanes = sd.shape[-1]
     x = sd.astype(jnp.float32)
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % s
-    incl = x
+    # Exclusive prefix = inclusive scan of the segment-shifted values
+    # (cum_i = Σ_{j<i} sd_j, with sd_{-1} := 0 at each ray start). Do NOT
+    # compute it as inclusive-minus-self: each ray's LAST sample carries the
+    # reference's δ_inf = 1e10 sentinel (renderer._composite_weights), and
+    # fp32 `(1e10 + prefix) − 1e10` cancels the whole prefix — the last
+    # sample's weight then ignores transmittance entirely (measured: per-ray
+    # Σw up to 2.0, held-out eval 7.9 dB vs 23 dB unfused).
+    cum = jnp.where(pos >= 1, pltpu.roll(x, 1, 1), 0.0)
     k = 1
     while k < s:
-        incl = incl + jnp.where(pos >= k, pltpu.roll(incl, k, 1), 0.0)
+        cum = cum + jnp.where(pos >= k, pltpu.roll(cum, k, 1), 0.0)
         k *= 2
-    cum = incl - x  # exclusive per-ray prefix
     return jnp.exp(-cum) * (1.0 - jnp.exp(-x))
 
 

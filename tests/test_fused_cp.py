@@ -178,3 +178,60 @@ def test_cum_basis_composite_matches(setup):
     for k in ("rgb", "depth", "opacity", "mirror", "weights"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    atol=2e-5, err_msg=k)
+
+
+def test_prefix_weights_with_delta_inf_sentinel():
+    """Regression: the segmented roll-scan must compute the EXCLUSIVE
+    transmittance prefix directly. The first version computed it as
+    inclusive-minus-self; each ray's last sample carries the reference's
+    δ_inf = 1e10 sentinel, and fp32 (1e10 + prefix) − 1e10 cancels the
+    whole prefix — the last sample's weight then ignores occlusion (per-ray
+    Σw reached ~2.0; held-out eval dropped from 23 dB to 7.9 dB)."""
+    from jax.experimental import pallas as pl
+
+    from mirror_nerf_tpu.ops.pallas.fused_mlp_t import _prefix_weights
+
+    s, lanes = 16, 128
+    rng = np.random.default_rng(0)
+    # opaque mid-ray surface: transmittance collapses well before the last
+    # sample, whose sd carries the 1e10 sentinel
+    sd = rng.uniform(0.0, 1.5, (1, lanes)).astype(np.float32)
+    sd[0, s - 1::s] = 1e10
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = _prefix_weights(x_ref[...], s)
+
+    got = np.asarray(pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((1, lanes), jnp.float32),
+        interpret=True)(jnp.asarray(sd)))[0]
+
+    x = sd[0].reshape(-1, s).astype(np.float64)
+    cum = np.cumsum(x, -1) - x
+    want = (np.exp(-cum) * (1.0 - np.exp(-x))).reshape(-1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert (got.reshape(-1, s).sum(-1) <= 1.0 + 1e-5).all()
+
+
+def test_composite_opaque_scene_weights_sum_le_one(setup):
+    """Composite kernels on a saturating-σ field: per-ray weights must sum
+    to ≤ 1 and match the XLA compositing reference tightly (the δ_inf
+    cancellation bug produced sums up to 2.0 on trained checkpoints)."""
+    import dataclasses
+
+    from mirror_nerf_tpu.ops.pallas.fused_cp import fused_cp_rays_composite
+    from mirror_nerf_tpu.render.renderer import _composite_weights
+
+    field, params, o, d, z = setup
+    # scale the σ head so relu(σ) saturates transmittance mid-ray
+    p2 = jax.tree_util.tree_map(lambda x: x, params)
+    p2["sigma_net"] = [dict(lvl) for lvl in params["sigma_net"]]
+    p2["sigma_net"][-1] = {
+        "w": params["sigma_net"][-1]["w"]
+        .at[:, 0].set(jnp.abs(params["sigma_net"][-1]["w"][:, 0]) * 40.0)}
+    got = fused_cp_rays_composite(field, p2, o, d, d, z, interpret=True)
+    per = fused_cp_rays_eval(field, p2, o, d, d, z, interpret=True)
+    w_ref = _composite_weights(per["sigma"], z, jnp.zeros_like(z))
+    np.testing.assert_allclose(np.asarray(got["weights"]),
+                               np.asarray(w_ref), atol=2e-3)
+    wsum = np.asarray(got["weights"]).sum(-1)
+    assert (wsum <= 1.0 + 1e-4).all()
