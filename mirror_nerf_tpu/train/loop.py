@@ -388,6 +388,7 @@ class Trainer:
         s = 0
         first = True
         while s < n_steps:
+            prev_s = s
             if k_disp > 1 and s + k_disp <= n_steps:
                 aux = dispatch(s, k_disp, step_fn)
                 s += k_disp
@@ -409,7 +410,7 @@ class Trainer:
                 float(aux["loss"])
                 t0, t_skip = time.time(), s
                 first = False
-            if (s - k_disp) // max(log_every, 1) != s // max(log_every, 1) \
+            if prev_s // max(log_every, 1) != s // max(log_every, 1) \
                     or s >= n_steps:
                 last_aux = {k: float(v) for k, v in aux.items()}
                 last_aux["lr"] = float(self.lr_schedule(self.global_step))

@@ -63,10 +63,15 @@ case "$MODE" in
         --app_reflection_substitution \
         --substitution_ckpt_path "${SUB_CKPT:?set SUB_CKPT=path/to/ckpt}" \
         --exp_name "app_substitution_${EXP}" ;;
-  *)  python train.py "${DATA_FLAGS[@]}" "${MODEL_FLAGS[@]}" \
+  *)  # decay schedule is model-dependent (measured, STATUS.md): the
+      # reference schedule {2,4,8} fixes the flagship's late-training
+      # collapse but destabilizes the CP-grid speed model, which wants the
+      # slower {4,8,12}
+      if [ "$MODEL_TYPE" = nerf_tpu ]; then DECAY="4 8 12"; else DECAY="2 4 8"; fi
+      python train.py "${DATA_FLAGS[@]}" "${MODEL_FLAGS[@]}" \
         --N_importance 64 --noise_std 1 --num_epochs 30 --batch_size 1024 \
         --optimizer adam --lr 5e-4 --lr_scheduler steplr \
-        --decay_step 2 4 8 --decay_gamma 0.5 --chunk 8192 \
+        --decay_step ${DECAY:-2 4 8} --decay_gamma 0.5 --chunk 8192 \
         --train_geometry_stage --use_plane_consistent_loss \
         --only_trace_rays_in_mirrors --train_skip_step 1 \
         --val_idx "${VAL_IDX:-0}" --exp_name "$EXP" ;;
