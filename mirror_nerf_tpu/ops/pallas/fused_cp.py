@@ -143,6 +143,10 @@ def pack_cp_params(params: dict, field, lanes: int = LANES,
 
 
 def _mm(w, x):
+    # NOTE: on the TPU MXU, DEFAULT precision truncates fp32 operands to
+    # bf16 (requesting Precision.HIGHEST fails to lower in Mosaic on this
+    # toolchain). Matmuls whose fp32 operand carries POSITIONS must use
+    # _mm_hilo instead — see fused_mlp_t._mm_hilo.
     return jax.lax.dot_general(
         w, x, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -319,8 +323,14 @@ def _kernel_composite_rays(spec: CPFusedSpec, names, od_ref, z_ref, *refs):
     else:
         bcast, summ = refs[len(names):len(names) + 2]
         out_ref, wts_ref = refs[-2], refs[-1]
+    from .fused_mlp_t import _mm_hilo_lhs
+
     z = z_ref[0]  # (1, L)
-    seg = _mm(od_ref[0], bcast[...])  # (9, L) fp32, exact (one-hot)
+    # one-hot expand: BCAST is exactly bf16-representable (0/1) but od
+    # carries fp32 positions — hi/lo split keeps ~16 mantissa bits (a
+    # DEFAULT-precision matmul truncates positions to bf16: ~2 fine grid
+    # cells of error at G=512)
+    seg = _mm_hilo_lhs(od_ref[0], bcast[...], spec.jdtype)  # (9, L)
     x3 = seg[0:3, :] + seg[3:6, :] * z  # already scaled to [0, 1]
     sigma, rows = _field_rows(spec, w, x3, seg[6:9, :])
 

@@ -150,9 +150,24 @@ def _enc_consts_np(in_dim: int, n_freqs: int, lanes: int):
     return Mf, ph
 
 
-def _apply_enc(x128, M, ph, in_dim: int):
-    """In-kernel positional encoding: x128 (rows, lanes) fp32 -> bf16."""
-    enc = jnp.dot(x128, M, preferred_element_type=jnp.float32) + ph
+def _apply_enc(x128, M, ph, in_dim: int, fp32_dots: bool = False):
+    """In-kernel positional encoding: x128 (rows, lanes) fp32 -> bf16.
+
+    On the MXU a DEFAULT-precision fp32 dot truncates its operands to
+    bf16 — quantizing the POSITIONS to 8 mantissa bits before sin(2^k·x)
+    garbles the high-frequency bands. M's entries are 0/±2^k (exact in
+    bf16), so a hi/lo split of x recovers ~16 mantissa bits
+    (fused_mlp_t._mm_hilo). fp32_dots=True (interpret mode) skips the
+    split — there is no truncation, and XLA:CPU cannot run bf16 dots.
+    """
+    if fp32_dots:
+        enc = jnp.dot(x128, M, preferred_element_type=jnp.float32) + ph
+    else:
+        hi = x128.astype(jnp.bfloat16)
+        lo = (x128 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Mb = M.astype(jnp.bfloat16)
+        enc = (jnp.dot(hi, Mb, preferred_element_type=jnp.float32)
+               + jnp.dot(lo, Mb, preferred_element_type=jnp.float32) + ph)
     lanes = jax.lax.broadcasted_iota(jnp.int32, enc.shape, 1)
     return jnp.where(lanes < in_dim, enc, jnp.sin(enc)).astype(jnp.bfloat16)
 
@@ -212,8 +227,8 @@ def _kernel(spec: FusedSpec, names, xe_ref, de_ref, *w_refs):
         out_ref[j * T2:(j + 1) * T2, :] = out.astype(out_ref.dtype)
 
 
-def _kernel_rays(spec: FusedSpec, names, o_ref, d_ref, z_ref, de_ref,
-                 mpos_ref, ppos_ref, *w_refs):
+def _kernel_rays(spec: FusedSpec, names, fp32_dots, o_ref, d_ref, z_ref,
+                 de_ref, mpos_ref, ppos_ref, *w_refs):
     """Ray-mode kernel: builds xyz = o + d·z and its positional encoding in
     VMEM from per-ray inputs, so the dominant per-SAMPLE input tensor never
     crosses HBM (a per-sample (B,3) xyz is lane-padded to 128 on TPU — a 42x
@@ -229,7 +244,8 @@ def _kernel_rays(spec: FusedSpec, names, o_ref, d_ref, z_ref, de_ref,
     z3 = z_ref[...][:, :, None]  # (R, S, 1): depth broadcast over lanes
     xyz = (o_ref[...][:, None, :] + d_ref[...][:, None, :] * z3
            ).reshape(T, 128)  # lanes 0:3 real, rest zero
-    xe = _apply_enc(xyz, mpos_ref[...], ppos_ref[...], 3)
+    xe = _apply_enc(xyz, mpos_ref[...], ppos_ref[...], 3,
+                    fp32_dots=fp32_dots)
     h = _trunk(spec, w, xe)
     if spec.sigma_only:
         out = _mm(h, w["wsig"]) + w["bout"]
@@ -319,7 +335,7 @@ def fused_forward_rays(packed: dict, o: jnp.ndarray, d: jnp.ndarray,
     else:
         de_spec = pl.BlockSpec((spec.tile, DE_DIM), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel_rays, spec, names)
+    kernel = functools.partial(_kernel_rays, spec, names, interpret)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -32,6 +32,7 @@ rendering.py:182-199 compositing + the fused-eval role of tcnn.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -184,12 +185,55 @@ def pack_t_params(params: dict, spec: TSpec, in_xyz: int, in_dir: int,
 
 
 def _mm(w, x):
+    # NOTE: on the TPU MXU, DEFAULT precision truncates fp32 operands to
+    # bf16 (requesting Precision.HIGHEST fails to lower in Mosaic on this
+    # toolchain); use _mm_hilo when the fp32 operand carries positions.
     return jax.lax.dot_general(w, x, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
+def _mm_hilo(w, x, bf=jnp.bfloat16):
+    """w @ x with the fp32 rhs split into bf16 hi + lo parts.
+
+    The MXU truncates fp32 operands to bf16 at DEFAULT precision, and
+    Mosaic cannot lower Precision.HIGHEST in-kernel. When `w` is exactly
+    bf16-representable (one-hot expand matrices; posenc rows of 0/±2^k)
+    and `x` carries POSITIONS, plain _mm silently quantizes the positions
+    to 8 mantissa bits — e.g. sin(2^9·x) in the flagship posenc then sees
+    multi-radian phase error, and CP grid samples shift by ~2 fine cells.
+    Splitting x as hi = bf16(x), lo = bf16(x − hi) recovers ~16 mantissa
+    bits at the cost of one extra (cheap, position-sized) matmul:
+    w @ x ≈ w @ hi + w @ lo with fp32 accumulation.
+
+    `bf` is the kernel's compute dtype: in fp32 (interpret) mode the MXU
+    truncation doesn't exist — and XLA:CPU cannot execute bf16 dots — so
+    the split is skipped.
+    """
+    if bf == jnp.float32:
+        return _mm(w, x)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    return _mm(wb, hi) + _mm(wb, lo)
+
+
+def _mm_hilo_lhs(x, w, bf=jnp.bfloat16):
+    """x @ w with the fp32 LHS hi/lo-split (see _mm_hilo; here the
+    position-carrying operand is on the left, e.g. the CP ray-input
+    expand od (9, R) @ BCAST (R, L))."""
+    if bf == jnp.float32:
+        return _mm(x, w)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    return _mm(hi, wb) + _mm(lo, wb)
+
+
 def _posenc_t(x3, E, ph, in_dim: int, bf):
-    enc = _mm(E, x3) + ph
+    # hi/lo split: E rows are 0/±2^k (exact in bf16) but x3 carries fp32
+    # positions — a DEFAULT-precision matmul would truncate them to 8
+    # mantissa bits BEFORE sin(2^k·x), garbling the high-frequency bands
+    enc = _mm_hilo(E, x3, bf) + ph
     row = jax.lax.broadcasted_iota(jnp.int32, enc.shape, 0)
     return jnp.where(row < in_dim, enc, jnp.sin(enc)).astype(bf)
 
@@ -333,7 +377,8 @@ def fused_t_rays_eval(field, params, rays_o, rays_d, view_dirs, z_vals,
                  samples=s, sigma_only=sigma_only,
                  predict_normal=field.predict_normal,
                  predict_mirror_mask=field.predict_mirror_mask,
-                 lanes=lanes, dtype="float32" if interpret else "bfloat16")
+                 lanes=lanes,
+                 dtype="float32" if interpret else "bfloat16")
     rpb = spec.rays_per_block
     n_pad = (n + rpb - 1) // rpb * rpb
     pad = ((0, n_pad - n), (0, 0))
