@@ -32,7 +32,6 @@ rendering.py:182-199 compositing + the fused-eval role of tcnn.
 from __future__ import annotations
 
 import functools
-import os
 from dataclasses import dataclass
 
 import jax

@@ -56,6 +56,10 @@ def main(argv=None):
                    help="steps per dispatch for the scan variant (0=skip)")
     p.add_argument("--geometry", action="store_true",
                    help="profile the geometry-stage step (no trace)")
+    p.add_argument("--epoch", type=int, default=-1,
+                   help="epoch for the statics schedule (default: 10, or 0 "
+                        "with --geometry; geometry epochs >= 2 add the "
+                        "mask/plane losses)")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--trace_out", type=str, default="",
                    help="if set, capture a profiler trace of 2 steps here")
@@ -86,8 +90,8 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     ds = _FakeDataset(args.batch * 4, rng)
     tr = Trainer(cfg, ds, "/tmp/profile_train", mesh=get_mesh(1))
-    statics = EpochStatics.of(cfg, 10 if not args.geometry else 0,
-                              args.geometry)
+    epoch = args.epoch if args.epoch >= 0 else (0 if args.geometry else 10)
+    statics = EpochStatics.of(cfg, epoch, args.geometry)
     step = tr.get_step_fn(statics)
 
     def make_batch(i):
