@@ -119,6 +119,13 @@ class Config:
     novel_pose_jitter: float = 0.15
     novel_ray_loss_weight: float = 1e-3
     novel_ray_start_epoch: int = 0
+    # TPU extra: total-variation prior on the CP-grid 1-D factor tables
+    # (nerf_tpu). The CP product of 1-D factors has global axis-aligned
+    # support, so training poses constrain it only on their ray corridors;
+    # TV on the tables smooths exactly the off-corridor structure (the
+    # TensoRF regularizer; analog of the reference hash grid's TV op,
+    # gridencoder.cu:584-752). 0 = off.
+    cp_tv_loss_weight: float = 0.0
 
     # --- TPU-specific additions (not in the reference surface) ---
     # capacity fraction for secondary-ray compaction when
@@ -244,6 +251,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    default=d.novel_ray_loss_weight)
     p.add_argument("--novel_ray_start_epoch", type=int,
                    default=d.novel_ray_start_epoch)
+    p.add_argument("--cp_tv_loss_weight", type=float,
+                   default=d.cp_tv_loss_weight)
 
     # TPU-specific
     p.add_argument("--compact_frac", type=float, default=d.compact_frac)

@@ -241,6 +241,13 @@ class Trainer:
                         cfg.N_samples, cfg.novel_pose_jitter)
                     loss = loss + nv
                     loss_dict["novel_ray_reg"] = nv
+                if cfg.cp_tv_loss_weight > 0 and cfg.model_type == "nerf_tpu":
+                    from ..ops.cpgrid import cpgrid_tv_loss
+
+                    tv = sum(cpgrid_tv_loss(p[m]["grid"]) for m in p)
+                    tv = cfg.cp_tv_loss_weight * tv
+                    loss = loss + tv
+                    loss_dict["cp_tv"] = tv
                 if statics.gate_invalid_mask_steps:
                     # skip steps whose batch lacks GT masks in early epochs
                     # (train.py:405-408): gate the loss to zero

@@ -153,3 +153,28 @@ def test_tpugrid_two_stage_training_learns(tmp_path):
     assert np.isfinite(out1["loss"])
     assert out1["psnr"] > out0["psnr"] - 0.5  # learning, not diverging
     assert out1["psnr"] > 10.0
+
+
+def test_cp_tv_wired_into_train_step(tmp_path):
+    """--cp_tv_loss_weight adds the table-TV term to the nerf_tpu step and
+    its gradient smooths the tables (adjacent-row energy decreases)."""
+    root = str(tmp_path / "scene")
+    generate_scene(root, n_train=2, n_val=1, n_test=1, img_wh=(16, 16))
+    cfg = Config(
+        root_dir=root, img_wh=(16, 16), near=0.05, far=12.0, bound=3.0,
+        model_type="nerf_tpu", grid_levels="8:4,16:4",
+        N_samples=8, N_importance=8, batch_size=64, num_epochs=1,
+        predict_normal=True, predict_mirror_mask=True,
+        trace_secondary_rays=False, train_geometry_stage=False,
+        cp_tv_loss_weight=10.0, exp_name="t")
+    ds = BlenderDataset(root, "train", (16, 16), cfg)
+    tr = Trainer(cfg, ds, str(tmp_path / "log"), mesh=get_mesh(1))
+
+    def roughness(params):
+        return float(sum(cpgrid_tv_loss(params[m]["grid"]) for m in params))
+
+    r0 = roughness(jax.device_get(tr.params))
+    aux = tr.run_epoch(0, np.random.default_rng(0))
+    assert "cp_tv" in aux and np.isfinite(aux["cp_tv"])
+    r1 = roughness(jax.device_get(tr.params))
+    assert r1 < r0  # the prior actually smooths the tables
