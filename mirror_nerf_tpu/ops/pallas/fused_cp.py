@@ -38,7 +38,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 1024  # samples per grid step (8 lane-tiles)
+# samples per grid step. 2048 measured faster than 1024 end-to-end on the
+# bench (+14%: fewer grid steps amortize the per-block composite machinery;
+# VMEM peak still fits) — see BASELINE.md rays-mode stage budget.
+LANES = 2048
 
 
 @dataclass(frozen=True)
@@ -76,6 +79,8 @@ class CPFusedSpec:
     #   "const_feats": skip basis+tables+product (isolates the encoder)
     #   "enc_only":    encoder only, σ = feats row 0 (with sigma_only)
     #   "io":          σ = x row 0 — the pallas_call I/O + overhead floor
+    #   "io_noexpand": io, minus the ray→sample one-hot expand (rays mode)
+    #   "io_noscan":   io, minus the prefix roll-scan (rays mode)
     ablate: str = ""
     # Composite mode with per-RAY inputs: consume (9, R) rows (pre-scaled
     # origin, pre-scaled dir, view dir) + the (1, L) z row, and build the
@@ -119,24 +124,35 @@ def pack_cp_params(params: dict, field, lanes: int = LANES,
     p["s2"] = s[1]["w"].T.astype(dtype)  # (16, 64)
     if not field.predict_normal or not field.predict_mirror_mask:
         raise NotImplementedError("fused CP kernel packs all heads")
+    # The three head stacks are PACKED into two matmuls around the shared
+    # color hidden layer: every first-layer head consumes a slice of
+    # cin = [sh(16); geo(15); 0] (c1 all 32 rows; n1/m1 the geo rows), so
+    # one (160, 32) matmul evaluates all three; every last layer writes
+    # disjoint rows of the packed 8-row output, so one (8, 160) matmul on
+    # the stacked hidden activations [hc2(64); hn(64); hm(32)] finishes
+    # them. 3 MXU ops instead of 7 skinny ones (M ∈ {64, 32, 8} with
+    # K ∈ {15, 32}; the MXU is latency- not FLOP-bound there).
     c = params["color_net"]
     w0 = jnp.asarray(c[0]["w"], jnp.float32)  # (16+15, 64)
-    p["c1"] = jnp.pad(w0, ((0, 1), (0, 0))).T.astype(dtype)  # (64, 32)
+    c1 = jnp.pad(w0, ((0, 1), (0, 0))).T  # (64, 32)
     p["c2"] = c[1]["w"].T.astype(dtype)  # (64, 64)
-    # final color (64, 3) -> output rows 1:4 of an (8, 64) matrix
     c3 = jnp.asarray(c[2]["w"], jnp.float32).T  # (3, 64)
-    p["c3"] = jnp.pad(c3, ((1, 4), (0, 0))).astype(dtype)  # (8, 64)
+    c3 = jnp.pad(c3, ((1, 4), (0, 0)))  # (8, 64): rgb raw in rows 1:4
     n = params["normal"]
-    p["n1"] = n[0]["w"].T.astype(dtype)  # (64, 15)
+    n1 = jnp.pad(jnp.asarray(n[0]["w"], jnp.float32).T,
+                 ((0, 0), (16, 1)))  # (64, 32): reads the geo rows of cin
     n2 = jnp.asarray(n[1]["w"], jnp.float32).T  # (3, 64)
-    p["n2"] = jnp.pad(n2, ((4, 1), (0, 0))).astype(dtype)  # (8, 64)
+    n2 = jnp.pad(n2, ((4, 1), (0, 0)))  # (8, 64): normal raw in rows 4:7
     m = params["is_mirror"]
-    p["m1"] = m[0]["w"].T.astype(dtype)  # (32, 15)
+    m1 = jnp.pad(jnp.asarray(m[0]["w"], jnp.float32).T,
+                 ((0, 0), (16, 1)))  # (32, 32)
     p["m1b"] = jnp.broadcast_to(
         jnp.asarray(m[0]["b"], jnp.float32)[:, None], (m[0]["b"].shape[0],
                                                        lanes))
     m2 = jnp.asarray(m[1]["w"], jnp.float32).T  # (1, 32)
-    p["m2"] = jnp.pad(m2, ((7, 0), (0, 0))).astype(dtype)  # (8, 32)
+    m2 = jnp.pad(m2, ((7, 0), (0, 0)))  # (8, 32): mirror in row 7
+    p["h1"] = jnp.concatenate([c1, n1, m1], axis=0).astype(dtype)  # (160, 32)
+    p["hf"] = jnp.concatenate([c3, n2, m2], axis=1).astype(dtype)  # (8, 160)
     ob = jnp.zeros((8, lanes), jnp.float32)
     p["obias"] = ob.at[7].set(jnp.asarray(m[1]["b"], jnp.float32)[0])
     return p
@@ -248,16 +264,16 @@ def _field_rows(spec: CPFusedSpec, w, x3, d3):
     sh = _sh4_rows(d3).astype(bf)  # (16, L)
     cin = jnp.concatenate(
         [sh, geo, jnp.zeros((1, sh.shape[-1]), bf)], axis=0)  # (32, L)
-    hc = jnp.maximum(_mm(w["c1"][...], cin), 0.0).astype(bf)
-    hc = jnp.maximum(_mm(w["c2"][...], hc), 0.0).astype(bf)
-    out = _mm(w["c3"][...], hc)  # rgb raw in rows 1:4
-
-    hn = jnp.maximum(_mm(w["n1"][...], geo), 0.0).astype(bf)
-    out = out + _mm(w["n2"][...], hn)  # normal raw in rows 4:7
-
-    hm = _mm(w["m1"][...], geo) + w["m1b"][...]
+    # all three head stacks in 3 packed matmuls (see pack_cp_params):
+    # pre rows 0:64 = c1 @ cin, 64:128 = n1 @ geo, 128:160 = m1 @ geo
+    pre = _mm(w["h1"][...], cin)  # (160, L) fp32
+    hc = jnp.maximum(pre[0:64, :], 0.0).astype(bf)
+    hn = jnp.maximum(pre[64:128, :], 0.0).astype(bf)
+    hm = pre[128:160, :] + w["m1b"][...]
     hm = jnp.where(hm >= 0, hm, 0.01 * hm).astype(bf)
-    out = out + _mm(w["m2"][...], hm) + w["obias"][...]  # mirror in row 7
+    hc2 = jnp.maximum(_mm(w["c2"][...], hc), 0.0).astype(bf)
+    stacked = jnp.concatenate([hc2, hn, hm], axis=0)  # (160, L)
+    out = _mm(w["hf"][...], stacked) + w["obias"][...]
 
     # epilogue: σ raw; rgb/mirror sigmoid; normal L2-normalized (row math)
     rgb = jax.nn.sigmoid(out[1:4, :])
@@ -326,13 +342,23 @@ def _kernel_composite_rays(spec: CPFusedSpec, names, od_ref, z_ref, *refs):
     from .fused_mlp_t import _mm_hilo_lhs
 
     z = z_ref[0]  # (1, L)
-    # one-hot expand: BCAST is exactly bf16-representable (0/1) but od
-    # carries fp32 positions — hi/lo split keeps ~16 mantissa bits (a
-    # DEFAULT-precision matmul truncates positions to bf16: ~2 fine grid
-    # cells of error at G=512)
-    seg = _mm_hilo_lhs(od_ref[0], bcast[...], spec.jdtype)  # (9, L)
+    if spec.ablate == "io_noexpand":
+        # measurement-only: skip the expand, keep everything else (stays
+        # data-dependent on od so nothing constant-folds)
+        seg = jnp.broadcast_to(od_ref[0][:, 0:1], (9, z.shape[-1]))
+    else:
+        # one-hot expand: BCAST is exactly bf16-representable (0/1) but od
+        # carries fp32 positions — hi/lo split keeps ~16 mantissa bits (a
+        # DEFAULT-precision matmul truncates positions to bf16: ~2 fine grid
+        # cells of error at G=512)
+        seg = _mm_hilo_lhs(od_ref[0], bcast[...], spec.jdtype)  # (9, L)
     x3 = seg[0:3, :] + seg[3:6, :] * z  # already scaled to [0, 1]
-    sigma, rows = _field_rows(spec, w, x3, seg[6:9, :])
+    fspec = spec
+    if spec.ablate in ("io_noexpand", "io_noscan"):
+        import dataclasses as _dc
+
+        fspec = _dc.replace(spec, ablate="io")
+    sigma, rows = _field_rows(fspec, w, x3, seg[6:9, :])
 
     lanes = z.shape[-1]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % spec.samples
@@ -341,7 +367,8 @@ def _kernel_composite_rays(spec: CPFusedSpec, names, od_ref, z_ref, *refs):
     dl = jnp.where(pos == spec.samples - 1, 1e10,
                    pltpu.roll(z, lanes - 1, 1) - z)
     sd = dl * jnp.maximum(sigma, 0.0)
-    wts = _prefix_weights(sd, spec.samples)
+    wts = sd if spec.ablate == "io_noscan" else _prefix_weights(
+        sd, spec.samples)
     wts_ref[0] = wts
     if spec.sigma_only:
         return

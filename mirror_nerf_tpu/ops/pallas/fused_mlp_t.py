@@ -160,24 +160,47 @@ def pack_t_params(params: dict, spec: TSpec, in_xyz: int, in_dir: int,
     # σ head -> packed row 0
     p["wsig"] = t(params["sigma"]["w"], 8, W)  # (1,W) placed at row 0
     obias = col(params["sigma"]["b"], 8, 0)
-    p["wxf"] = t(params["xyz_final"]["w"], W, W)
-    p["bxf"] = col(params["xyz_final"]["b"])
     wd = jnp.asarray(params["dir_enc"]["w"], jnp.float32)  # (W+in_dir, W//2)
     p["wda"] = t(wd[:W], W // 2, W)
     p["wdb"] = t(wd[W:], W // 2, DE)
     p["bd"] = col(params["dir_enc"]["b"])
-    p["wrgb"] = t(params["rgb"]["w"], 8, W // 2, row0=1)
-    obias = obias + col(params["rgb"]["b"], 8, 1)
-    if "normal" in params:
-        p["wn1"] = t(params["normal"][0]["w"], W // 2, W)
-        p["bn1"] = col(params["normal"][0]["b"])
-        p["wn2"] = t(params["normal"][1]["w"], 8, W // 2, row0=4)
+    if "normal" in params and "is_mirror" in params:
+        # PACKED heads: xf / normal-hidden / mirror-hidden all consume the
+        # trunk feature h, so one (W + 2·W/2, W) matmul evaluates all three
+        # (the separate matmuls are skinny: M ∈ {W/2}, MXU latency-bound);
+        # the three 8-row finals consume disjoint slices of the stacked
+        # hidden rows [hd; hn; hm], so one (8, 3·W/2) matmul finishes them.
+        p["whd1"] = jnp.concatenate([
+            t(params["xyz_final"]["w"], W, W),
+            t(params["normal"][0]["w"], W // 2, W),
+            t(params["is_mirror"][0]["w"], W // 2, W)], axis=0)  # (2W, W)
+        p["bhd1"] = jnp.concatenate([
+            col(params["xyz_final"]["b"]),
+            col(params["normal"][0]["b"]),
+            col(params["is_mirror"][0]["b"])], axis=0)
+        p["wfin"] = jnp.concatenate([
+            t(params["rgb"]["w"], 8, W // 2, row0=1),
+            t(params["normal"][1]["w"], 8, W // 2, row0=4),
+            t(params["is_mirror"][1]["w"], 8, W // 2, row0=7)],
+            axis=1)  # (8, 3·W/2)
+        obias = obias + col(params["rgb"]["b"], 8, 1)
         obias = obias + col(params["normal"][1]["b"], 8, 4)
-    if "is_mirror" in params:
-        p["wm1"] = t(params["is_mirror"][0]["w"], W // 2, W)
-        p["bm1"] = col(params["is_mirror"][0]["b"])
-        p["wm2"] = t(params["is_mirror"][1]["w"], 8, W // 2, row0=7)
         obias = obias + col(params["is_mirror"][1]["b"], 8, 7)
+    else:
+        p["wxf"] = t(params["xyz_final"]["w"], W, W)
+        p["bxf"] = col(params["xyz_final"]["b"])
+        p["wrgb"] = t(params["rgb"]["w"], 8, W // 2, row0=1)
+        obias = obias + col(params["rgb"]["b"], 8, 1)
+        if "normal" in params:
+            p["wn1"] = t(params["normal"][0]["w"], W // 2, W)
+            p["bn1"] = col(params["normal"][0]["b"])
+            p["wn2"] = t(params["normal"][1]["w"], 8, W // 2, row0=4)
+            obias = obias + col(params["normal"][1]["b"], 8, 4)
+        if "is_mirror" in params:
+            p["wm1"] = t(params["is_mirror"][0]["w"], W // 2, W)
+            p["bm1"] = col(params["is_mirror"][0]["b"])
+            p["wm2"] = t(params["is_mirror"][1]["w"], 8, W // 2, row0=7)
+            obias = obias + col(params["is_mirror"][1]["b"], 8, 7)
     p["obias"] = obias
     return {k: v.astype(dtype) if k.startswith("w") else v
             for k, v in p.items()}
@@ -269,19 +292,34 @@ def _kernel(spec: TSpec, names, x_ref, d_ref, z_ref, dl_ref, *refs):
     if spec.sigma_only:
         return
 
-    xf = (_mm(w["wxf"][...], h) + w["bxf"][...]).astype(bf)
     de = _posenc_t(d_ref[0], Ed[...], phd[...], 3, bf)  # (128, L)
-    hd = jnp.maximum(
-        _mm(w["wda"][...], xf) + _mm(w["wdb"][...], de) + w["bd"][...], 0.0
-    ).astype(bf)
-    out = out + _mm(w["wrgb"][...], hd)
-    if spec.predict_normal:
-        hn = (_mm(w["wn1"][...], h) + w["bn1"][...]).astype(bf)
-        out = out + _mm(w["wn2"][...], hn)
-    if spec.predict_mirror_mask:
-        hm = _mm(w["wm1"][...], h) + w["bm1"][...]
+    if spec.predict_normal and spec.predict_mirror_mask:
+        # packed: one (2W, W) matmul for xf + both head hiddens, one
+        # (8, 3·W/2) final on the stacked hiddens (see pack_t_params)
+        W, Wh = spec.width, spec.width // 2
+        pre = _mm(w["whd1"][...], h) + w["bhd1"][...]  # (2W, L) fp32
+        xf = pre[0:W, :].astype(bf)
+        hn = pre[W:W + Wh, :].astype(bf)
+        hm = pre[W + Wh:, :]
         hm = jnp.where(hm >= 0, hm, 0.01 * hm).astype(bf)
-        out = out + _mm(w["wm2"][...], hm)
+        hd = jnp.maximum(
+            _mm(w["wda"][...], xf) + _mm(w["wdb"][...], de) + w["bd"][...],
+            0.0).astype(bf)
+        out = out + _mm(w["wfin"][...],
+                        jnp.concatenate([hd, hn, hm], axis=0))
+    else:
+        xf = (_mm(w["wxf"][...], h) + w["bxf"][...]).astype(bf)
+        hd = jnp.maximum(
+            _mm(w["wda"][...], xf) + _mm(w["wdb"][...], de) + w["bd"][...],
+            0.0).astype(bf)
+        out = out + _mm(w["wrgb"][...], hd)
+        if spec.predict_normal:
+            hn = (_mm(w["wn1"][...], h) + w["bn1"][...]).astype(bf)
+            out = out + _mm(w["wn2"][...], hn)
+        if spec.predict_mirror_mask:
+            hm = _mm(w["wm1"][...], h) + w["bm1"][...]
+            hm = jnp.where(hm >= 0, hm, 0.01 * hm).astype(bf)
+            out = out + _mm(w["wm2"][...], hm)
 
     # epilogue on rows, then per-ray composite via the SUM matmul
     rgb = jax.nn.sigmoid(out[1:4, :])

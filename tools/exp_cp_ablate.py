@@ -14,6 +14,12 @@ data-dependent so nothing constant-folds):
     "" σ-only             encoder + σ-net
     "" full               everything (reference point)
 
+--mode rays budgets the bench-default ray-input composite kernel instead
+(fused_cp_forward_composite_rays): there "io" additionally includes the
+in-kernel segment-expand, δ roll-difference, prefix scan and (full only)
+the composite sum — i.e. it is the composite machinery floor, not a pure
+I/O floor.
+
 Timing methodology: on this TPU attachment per-dispatch tunnel latency is
 ~40 ms — larger than the kernel itself — so each measurement runs REPS
 kernel invocations inside ONE jitted dispatch via lax.fori_loop (iterations
@@ -41,6 +47,12 @@ def main():
     p.add_argument("--dispatches", type=int, default=3)
     p.add_argument("--lanes", type=int, nargs="+", default=[1024, 2048])
     p.add_argument("--basis", type=str, default="hat")
+    p.add_argument("--mode", choices=["points", "rays"], default="points",
+                   help="points: per-sample kernel (fused_cp_forward); "
+                        "rays: the bench-default ray-input composite kernel "
+                        "(fused_cp_forward_composite_rays, S=128/ray)")
+    p.add_argument("--samples", type=int, default=128,
+                   help="samples per ray (rays mode)")
     args = p.parse_args()
 
     from mirror_nerf_tpu.utils.cache import enable_compilation_cache
@@ -52,9 +64,9 @@ def main():
     from jax import lax
 
     from mirror_nerf_tpu.models.tpugrid import TPUGridField
-    from mirror_nerf_tpu.ops.pallas.fused_cp import (CPFusedSpec,
-                                                     fused_cp_forward,
-                                                     pack_cp_params)
+    from mirror_nerf_tpu.ops.pallas.fused_cp import (
+        CPFusedSpec, fused_cp_forward, fused_cp_forward_composite_rays,
+        pack_cp_params)
 
     field = TPUGridField(bound=6.0, predict_normal=True,
                          predict_mirror_mask=True, compute_dtype="bfloat16")
@@ -66,34 +78,60 @@ def main():
         ("const_feats", True), ("", True), ("const_feats", False),
         ("", False),
     ]
+    if args.mode == "rays":
+        # decompose the composite-machinery floor
+        cases = [("io_noexpand", True), ("io_noscan", True)] + cases
 
     for lanes in args.lanes:
         nb = t // lanes
         k = jax.random.PRNGKey(1)
         x3 = jax.random.uniform(k, (nb, 3, lanes), jnp.float32)
         d3 = jax.random.normal(k, (nb, 3, lanes), jnp.float32)
+        rpb = lanes // args.samples
+        od = jax.random.uniform(k, (nb, 9, rpb), jnp.float32)
+        z = jnp.broadcast_to(
+            jnp.linspace(0.05, 6.0, args.samples, dtype=jnp.float32),
+            (nb, rpb, args.samples)).reshape(nb, 1, lanes)
         base_ms = {}
         for ablate, sigma_only in cases:
-            spec = CPFusedSpec(levels=tuple(field.grid_levels),
-                               sigma_only=sigma_only, lanes=lanes,
-                               basis=args.basis, ablate=ablate)
+            spec = CPFusedSpec(
+                levels=tuple(field.grid_levels), sigma_only=sigma_only,
+                lanes=lanes, basis=args.basis, ablate=ablate,
+                samples=(args.samples if args.mode == "rays" else 0),
+                ray_inputs=args.mode == "rays")
             packed = pack_cp_params(params, field, lanes=lanes,
                                     basis=args.basis)
 
-            @jax.jit
-            def timed(x3, d3, packed):
-                def body(i, acc):
-                    out = fused_cp_forward(
-                        packed, x3 + (acc * 1e-30 + i * 1e-7), d3, spec)
-                    return acc + out[0, 0, 0]
+            if args.mode == "rays":
 
-                return lax.fori_loop(0, args.reps, body, 0.0)
+                @jax.jit
+                def timed(od, z, packed):
+                    def body(i, acc):
+                        pr, wts = fused_cp_forward_composite_rays(
+                            packed, od + (acc * 1e-30 + i * 1e-7), z, spec)
+                        return acc + wts[0, 0, 0]
 
-            float(timed(x3, d3, packed))  # compile + warm
+                    return lax.fori_loop(0, args.reps, body, 0.0)
+
+                timed_args = (od, z, packed)
+            else:
+
+                @jax.jit
+                def timed(x3, d3, packed):
+                    def body(i, acc):
+                        out = fused_cp_forward(
+                            packed, x3 + (acc * 1e-30 + i * 1e-7), d3, spec)
+                        return acc + out[0, 0, 0]
+
+                    return lax.fori_loop(0, args.reps, body, 0.0)
+
+                timed_args = (x3, d3, packed)
+
+            float(timed(*timed_args))  # compile + warm
             best = float("inf")
             for _ in range(args.dispatches):
                 t0 = time.perf_counter()
-                float(timed(x3, d3, packed))  # value fetch = sync
+                float(timed(*timed_args))  # value fetch = sync
                 best = min(best, time.perf_counter() - t0)
             ms = best / args.reps * 1e3
             base_ms[(ablate, sigma_only)] = ms
