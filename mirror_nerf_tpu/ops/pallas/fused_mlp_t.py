@@ -409,7 +409,11 @@ def fused_t_rays_eval(field, params, rays_o, rays_d, view_dirs, z_vals,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, s = z_vals.shape
-    lanes = LANES if LANES % s == 0 else s * max(1, LANES // s)
+    import os
+
+    lanes = int(os.environ.get("MNERF_T_LANES", LANES))
+    if lanes % s != 0:
+        lanes = s * max(1, lanes // s)
     spec = TSpec(n_emb_xyz=field.N_emb_xyz, n_emb_dir=field.N_emb_dir,
                  samples=s, sigma_only=sigma_only,
                  predict_normal=field.predict_normal,
