@@ -38,10 +38,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# samples per grid step. 2048 measured faster than 1024 end-to-end on the
-# bench (+14%: fewer grid steps amortize the per-block composite machinery;
-# VMEM peak still fits) — see BASELINE.md rays-mode stage budget.
-LANES = 2048
+# samples per grid step. Measured end-to-end on the bench: 1024 -> 2048
+# +14%, 2048 -> 4096 +6% (1.195-1.200M rays/s; 8192 is flat with 4096 at
+# double the VMEM peak) — fewer grid steps amortize the per-block composite
+# machinery. See BASELINE.md rays-mode stage budget.
+LANES = 4096
 
 
 @dataclass(frozen=True)

