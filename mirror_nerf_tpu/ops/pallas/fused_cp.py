@@ -82,6 +82,10 @@ class CPFusedSpec:
     #   "io":          σ = x row 0 — the pallas_call I/O + overhead floor
     #   "io_noexpand": io, minus the ray→sample one-hot expand (rays mode)
     #   "io_noscan":   io, minus the prefix roll-scan (rays mode)
+    #   "io_min":      rays mode: pure block I/O + grid overhead (wts = z
+    #                  scaled by an od element; no expand/roll/scan at all)
+    #   "io_nowts":    io_min with NO weight/const inputs at all — isolates
+    #                  whether constant-index blocks are re-DMA'd per step
     ablate: str = ""
     # Composite mode with per-RAY inputs: consume (9, R) rows (pre-scaled
     # origin, pre-scaled dir, view dir) + the (1, L) z row, and build the
@@ -343,6 +347,15 @@ def _kernel_composite_rays(spec: CPFusedSpec, names, od_ref, z_ref, *refs):
     from .fused_mlp_t import _mm_hilo_lhs
 
     z = z_ref[0]  # (1, L)
+    if spec.ablate == "io_nowts":
+        wts_ref = refs[-1]
+        wts_ref[0] = z * od_ref[0][0:1, 0:1]
+        return
+    if spec.ablate == "io_min":
+        wts_ref[0] = z * od_ref[0][0:1, 0:1]
+        if not spec.sigma_only:
+            out_ref[0] = jnp.zeros_like(out_ref[0]) + od_ref[0][0, 0]
+        return
     if spec.ablate == "io_noexpand":
         # measurement-only: skip the expand, keep everything else (stays
         # data-dependent on od so nothing constant-folds)
@@ -390,11 +403,16 @@ def fused_cp_forward_composite_rays(packed: dict, od, z_row,
     nb, nine, r = od.shape
     assert nine == 9 and r == spec.rays_per_block
     lanes = spec.lanes
-    names = sorted(packed.keys())
-    summ_np = _sum_const(lanes, spec.samples)
-    consts = [jnp.asarray(summ_np.T.copy(), jnp.float32)]  # BCAST (R, L)
-    if not spec.sigma_only:
-        consts.append(jnp.asarray(summ_np, spec.jdtype))
+    if spec.ablate == "io_nowts":
+        # measurement-only: no weight/const inputs at all
+        assert spec.sigma_only
+        names, consts = [], []
+    else:
+        names = sorted(packed.keys())
+        summ_np = _sum_const(lanes, spec.samples)
+        consts = [jnp.asarray(summ_np.T.copy(), jnp.float32)]  # BCAST (R, L)
+        if not spec.sigma_only:
+            consts.append(jnp.asarray(summ_np, spec.jdtype))
     blk_od = pl.BlockSpec((1, 9, r), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     blk1 = pl.BlockSpec((1, 1, lanes), lambda i: (i, 0, 0),

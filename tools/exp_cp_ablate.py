@@ -53,6 +53,9 @@ def main():
                         "(fused_cp_forward_composite_rays, S=128/ray)")
     p.add_argument("--samples", type=int, default=128,
                    help="samples per ray (rays mode)")
+    p.add_argument("--cases", type=str, default=None,
+                   help="comma-separated ablate-case filter, e.g. "
+                        "'io_min,io' (σ-only forms)")
     args = p.parse_args()
 
     from mirror_nerf_tpu.utils.cache import enable_compilation_cache
@@ -80,7 +83,11 @@ def main():
     ]
     if args.mode == "rays":
         # decompose the composite-machinery floor
-        cases = [("io_noexpand", True), ("io_noscan", True)] + cases
+        cases = [("io_nowts", True), ("io_min", True), ("io_noexpand", True),
+                 ("io_noscan", True)] + cases
+    if args.cases is not None:
+        want = set(args.cases.split(","))
+        cases = [(a, s) for a, s in cases if (a or "full") in want]
 
     for lanes in args.lanes:
         nb = t // lanes
@@ -138,6 +145,8 @@ def main():
             name = (ablate or "full") + ("/σ" if sigma_only else "")
             print(f"lanes={lanes} {name:<14} {ms:7.3f} ms "
                   f"{t / (ms * 1e-3) / 1e6:7.1f} Mpt/s", flush=True)
+        if ("io", True) not in base_ms or ("", False) not in base_ms:
+            continue  # filtered run: no full budget line
         io = base_ms[("io", True)]
         enc = base_ms[("enc_only", True)]
         cb = base_ms[("const_basis", True)]
