@@ -85,7 +85,9 @@ def main(argv=None):
 
     from mirror_nerf_tpu.data import get_dataset
     from mirror_nerf_tpu.data.depth_utils import save_pfm
+    from mirror_nerf_tpu.eval.metrics import lpips as lpips_metric
     from mirror_nerf_tpu.eval.metrics import psnr as psnr_metric
+    from mirror_nerf_tpu.eval.metrics import ssim as ssim_metric
     from mirror_nerf_tpu.models.fields import make_field
     from mirror_nerf_tpu.eval.apps import AppContext, run_view
     from mirror_nerf_tpu.utils.visualization import visualize_depth
@@ -160,6 +162,7 @@ def main(argv=None):
     n_views = len(dataset)
     imgs, masks_u8, depth_maps, depth_reflect_maps, masks_float, psnrs = (
         [], [], [], [], [], [])
+    ssims, lpipss = [], []
 
     typ_final = "coarse"
     for i in range(n_views):
@@ -169,6 +172,12 @@ def main(argv=None):
         progress = i / max(n_views, 1)
 
         results = run_view(ctx, sample, progress, jax.random.PRNGKey(i))
+        if "compact_dropped" in results:
+            n_drop = float(np.sum(results["compact_dropped"]))
+            if n_drop > 0:
+                print(f"[warn] view {i}: {n_drop:.0f} mirror rays exceeded "
+                      f"the secondary-ray compaction capacity and render "
+                      f"without reflections — raise --compact_frac")
         typ = "fine" if "rgb_fine" in results else "coarse"
         typ_final = typ
 
@@ -183,8 +192,12 @@ def main(argv=None):
             if t == typ:
                 imgs.append(img_u8)
                 if "rgbs" in sample:
-                    psnrs.append(psnr_metric(sample["rgbs"].reshape(h, w, 3),
-                                             img))
+                    gt_img = sample["rgbs"].reshape(h, w, 3)
+                    psnrs.append(psnr_metric(gt_img, img))
+                    ssims.append(ssim_metric(img, gt_img))
+                    lp = lpips_metric(img, gt_img)  # NaN without weights
+                    if np.isfinite(lp):
+                        lpipss.append(lp)
             if not args.not_save_depth and f"depth_{t}" in results:
                 dep = results[f"depth_{t}"].reshape(h, w)
                 if t == typ:
@@ -271,10 +284,21 @@ def main(argv=None):
                                  f"depth_reflect_{typ_final}_{i:03d}.png"),
                     (canvas * 255).astype(np.uint8))
     if psnrs:
+        # per-view + mean PSNR/SSIM (reference metrics.py:14-23,
+        # tools/eval_metrics.py:25-32); LPIPS joins when $LPIPS_WEIGHTS
+        # points at a converted alexnet weights file
         print(f"Mean PSNR ({typ_final}): {np.mean(psnrs):.2f}")
+        print(f"Mean SSIM ({typ_final}): {np.mean(ssims):.4f}")
+        table = {"mean_psnr": float(np.mean(psnrs)),
+                 "psnrs": [float(p) for p in psnrs],
+                 "mean_ssim": float(np.mean(ssims)),
+                 "ssims": [float(s) for s in ssims]}
+        if lpipss:
+            print(f"Mean LPIPS ({typ_final}): {np.mean(lpipss):.4f}")
+            table["mean_lpips"] = float(np.mean(lpipss))
+            table["lpips"] = [float(v) for v in lpipss]
         with open(os.path.join(dir_name, "psnr.json"), "w") as f:
-            json.dump({"mean_psnr": float(np.mean(psnrs)),
-                       "psnrs": [float(p) for p in psnrs]}, f)
+            json.dump(table, f)
     return dir_name
 
 

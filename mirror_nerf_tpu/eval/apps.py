@@ -289,8 +289,16 @@ def eval_trace(
 
         sec = {k: _expand(v) for k, v in sec_sub.items()
                if k.startswith(("rgb_", "depth_"))}
+        # overflow guard: per-ray indicator of mirror rays dropped past
+        # capacity (here + deeper levels); eval.py warns per view on any
+        dropped = (keep & ~valid).astype(jnp.float32)
+        if "compact_dropped" in sec_sub:
+            dropped = dropped + _expand(sec_sub["compact_dropped"])
+        results["compact_dropped"] = dropped
     else:
         sec = _trace_bundle(secondary)
+        if "compact_dropped" in sec:
+            results["compact_dropped"] = sec["compact_dropped"]
 
     m = mirror_mask[:, None]
     base = results[f"rgb_{sel}"]

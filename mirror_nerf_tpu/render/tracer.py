@@ -215,11 +215,22 @@ def trace_rays(
 
         sec = {k: _expand(v) for k, v in sec_sub.items()
                if k.startswith(("rgb_", "depth_"))}
+        # Overflow guard (the 7.6 dB footgun, STATUS.md r2): per-ray
+        # indicator of mirror rays silently dropped past capacity at this
+        # level, plus any drops at deeper levels (expanded back to this
+        # level's index space). Consumers sum it: the trainer hard-fails
+        # on >1% overflow, eval warns per view.
+        dropped = (keep & ~valid).astype(jnp.float32)
+        if "compact_dropped" in sec_sub:
+            dropped = dropped + _expand(sec_sub["compact_dropped"])
+        results["compact_dropped"] = dropped
     else:
         sec = trace_rays(
             field, params, secondary_rays, mirror_mask_gt, k_next, ts,
             level=level + 1, mirror_mask_prev=mirror_mask,
         )
+        if "compact_dropped" in sec:
+            results["compact_dropped"] = sec["compact_dropped"]
 
     m = mirror_mask[:, None]  # (N, 1), values in {0, 1}, grad-stopped
     for typ in ("coarse", "fine"):

@@ -83,6 +83,23 @@ def make_trace_settings(cfg, epoch: int, geometry_stage: bool,
     )
 
 
+def check_compaction_overflow(aux: dict, compact_frac: float,
+                              tol: float = 0.01) -> None:
+    """Hard-fail when secondary-ray compaction silently dropped >tol of the
+    batch's mirror rays (the measured 7.6 dB training collapse, STATUS.md
+    r2). `aux` carries the step's summed drop/mirror counters."""
+    n_drop = aux.get("compact_dropped", 0.0)
+    n_mirror = aux.get("compact_mirror", 0.0)
+    if n_drop > tol * max(n_mirror, 1.0):
+        raise RuntimeError(
+            f"secondary-ray compaction overflow: {n_drop:.0f} of "
+            f"{n_mirror:.0f} mirror rays dropped this step "
+            f"(compact_frac={compact_frac}). Training with dropped "
+            f"reflections silently collapses quality (measured: 7.6 dB, "
+            f"STATUS.md r2) — raise --compact_frac (1.0 disables "
+            f"compaction) or use a scene with a smaller mirror fraction.")
+
+
 @dataclass
 class EpochStatics:
     """The static switches that key one compiled train step."""
@@ -258,6 +275,15 @@ class Trainer:
                     "psnr_coarse": psnr_fn(results["rgb_coarse"], rgbs),
                     **{k: v for k, v in loss_dict.items()},
                 }
+                if "compact_dropped" in results:
+                    # secondary-ray compaction overflow guard (the measured
+                    # 7.6 dB footgun, STATUS.md r2) — checked host-side at
+                    # every log step, hard-fails above 1% overflow
+                    aux["compact_dropped"] = jnp.sum(
+                        results["compact_dropped"])
+                    aux["compact_mirror"] = jnp.sum(
+                        (results["mirror_mask_resolved"] > 0.5)
+                        .astype(jnp.float32))
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -420,6 +446,7 @@ class Trainer:
             if prev_s // max(log_every, 1) != s // max(log_every, 1) \
                     or s >= n_steps:
                 last_aux = {k: float(v) for k, v in aux.items()}
+                check_compaction_overflow(last_aux, cfg.compact_frac)
                 last_aux["lr"] = float(self.lr_schedule(self.global_step))
                 self._log({"epoch": epoch, "step": self.global_step,
                            "stage": "geometry" if geometry_stage else "full",

@@ -88,3 +88,81 @@ def test_overflow_degrades_not_crashes(setup):
                      jax.random.PRNGKey(3),
                      dataclasses.replace(ts, compact_frac=0.5))
     assert np.isfinite(np.asarray(out["rgb_fine"])).all()
+
+
+def test_overflow_counter_counts_dropped_rays(setup):
+    """>capacity mirror rays must surface in the compact_dropped indicator
+    (the guard for the measured 7.6 dB silent-collapse footgun)."""
+    field, params, rays, mask, ts = setup
+    n = rays.shape[0]
+    all_mirror = jnp.ones(n)
+    ts_train = dataclasses.replace(
+        ts, only_trace_mode="train", only_trace_rays_in_mirrors=True,
+        max_recursive_level=1, compact_frac=0.5)
+    out = trace_rays(field, params, rays, all_mirror, jax.random.PRNGKey(3),
+                     ts_train)
+    dropped = np.asarray(out["compact_dropped"])
+    assert dropped.shape == (n,)
+    # capacity rounds up to 128; the other 128 all-mirror rays are dropped
+    assert dropped.sum() == n - 128
+    # exactly the dropped lanes rendered without a reflection
+    assert set(np.unique(dropped)).issubset({0.0, 1.0})
+
+
+def test_no_overflow_counter_is_zero(setup):
+    field, params, rays, mask, ts = setup
+    count = _mirror_count(field, params, rays, mask, ts)
+    assert count <= 128
+    comp = trace_rays(field, params, rays, mask, jax.random.PRNGKey(3),
+                      dataclasses.replace(ts, compact_frac=0.5))
+    assert np.asarray(comp["compact_dropped"]).sum() == 0
+
+
+def test_trainer_hard_fails_on_overflow():
+    """The trainer's host-side guard raises above 1% dropped mirror rays."""
+    from mirror_nerf_tpu.train.loop import check_compaction_overflow
+
+    check_compaction_overflow(
+        {"compact_dropped": 0.0, "compact_mirror": 800.0}, 0.25)
+    check_compaction_overflow(
+        {"compact_dropped": 4.0, "compact_mirror": 800.0}, 0.25)  # 0.5% ok
+    with pytest.raises(RuntimeError, match="compaction overflow"):
+        check_compaction_overflow(
+            {"compact_dropped": 128.0, "compact_mirror": 800.0}, 0.25)
+    check_compaction_overflow({}, 1.0)  # no compaction -> no counters
+
+
+def test_step_fn_surfaces_overflow_counters(setup, tmp_path):
+    """A forced all-mirror batch over capacity shows up in the step aux."""
+    from mirror_nerf_tpu.config import Config
+    from mirror_nerf_tpu.data.blender import BlenderDataset
+    from mirror_nerf_tpu.data.synthetic import generate_scene
+    from mirror_nerf_tpu.parallel.mesh import get_mesh
+    from mirror_nerf_tpu.train.loop import EpochStatics, Trainer
+
+    root = str(tmp_path / "scene")
+    generate_scene(root, n_train=2, n_val=1, n_test=1, img_wh=(16, 16))
+    cfg = Config(
+        root_dir=root, img_wh=(16, 16), near=0.05, far=12.0, bound=6.0,
+        N_samples=4, N_importance=0, batch_size=256, num_epochs=2,
+        predict_normal=False, predict_mirror_mask=True,
+        trace_secondary_rays=True, only_trace_rays_in_mirrors=True,
+        compact_frac=0.25, chunk=256,
+    )
+    ds = BlenderDataset(root, "train", cfg.img_wh, cfg)
+    trainer = Trainer(cfg, ds, str(tmp_path / "run"), mesh=get_mesh())
+    step = trainer.get_step_fn(EpochStatics.of(cfg, 1, False))
+    rays, rgbs, _ = ds.train_buffers()
+    batch = {
+        "rays": jnp.asarray(rays[:256]),
+        "rgbs": jnp.asarray(rgbs[:256]),
+        "mirror_mask": jnp.ones((256,), jnp.float32),  # force overflow
+    }
+    _, _, aux = step(trainer.params, trainer.opt_state, batch,
+                     jax.random.PRNGKey(0))
+    assert float(aux["compact_mirror"]) == 256.0
+    assert float(aux["compact_dropped"]) == 128.0  # capacity floor is 128
+    from mirror_nerf_tpu.train.loop import check_compaction_overflow
+    with pytest.raises(RuntimeError, match="compaction overflow"):
+        check_compaction_overflow(
+            {k: float(v) for k, v in aux.items()}, cfg.compact_frac)

@@ -145,7 +145,9 @@ def main():
             name = (ablate or "full") + ("/σ" if sigma_only else "")
             print(f"lanes={lanes} {name:<14} {ms:7.3f} ms "
                   f"{t / (ms * 1e-3) / 1e6:7.1f} Mpt/s", flush=True)
-        if ("io", True) not in base_ms or ("", False) not in base_ms:
+        budget_keys = (("io", True), ("enc_only", True), ("const_basis", True),
+                       ("const_feats", True), ("", True), ("", False))
+        if any(k not in base_ms for k in budget_keys):
             continue  # filtered run: no full budget line
         io = base_ms[("io", True)]
         enc = base_ms[("enc_only", True)]

@@ -32,7 +32,7 @@ def _tri_excl(s: int, width: int = 128):
     return ((j < i) & (j // s == i // s)).astype(np.float32)
 
 
-def kernel_reshape(x_ref, o_ref, tri_ref):
+def kernel_reshape(x_ref, tri_ref, o_ref):
     x = x_ref[0]  # (1, L)
     x32 = x.reshape(ROWS, 128)
     cum = jax.lax.dot_general(
@@ -45,15 +45,24 @@ def main():
     x = jnp.asarray(np.random.RandomState(0).rand(8, 1, L), jnp.float32)
     tri = jnp.asarray(_tri_excl(S), jnp.float32)
     try:
-        out = pl.pallas_call(
+        fn = pl.pallas_call(
             kernel_reshape,
             grid=(8,),
             in_specs=[pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((S, S), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((8, 1, L), jnp.float32),
-        )(x, tri)
+        )
+    except Exception as e:
+        # spec/pytree-level error: the probe itself is broken, not Mosaic
+        print(f"RESHAPE-IN-KERNEL: PROBE ERROR (bad specs, not a lowering "
+              f"verdict)\n{type(e).__name__}: {e}")
+        raise
+    try:
+        out = fn(x, tri)
         out.block_until_ready()
     except Exception as e:
         print(f"RESHAPE-IN-KERNEL: FAILED\n{type(e).__name__}: {e}")

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Serial quality-sweep driver for the dense-ring protocol (VERDICT r2 #1).
+
+Pops arm definitions from a JSONL queue file (so new arms can be appended
+while the sweep runs), trains each on the dense procedural scene, evaluates
+the held-out test split through the full prediction-driven eval path
+(reference eval protocol: 2-level trace, chunk 16384 — run.sh:103-118
+analog), and appends results to sweep_results.jsonl.
+
+Queue entry: {"name": str, "train_flags": [..extra flags..],
+              "eval_flags": [...], "epochs": int (default 12)}
+Usage: python tools/sweep_quality.py --queue sweeps/queue.jsonl
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DATA_FLAGS = [
+    "--dataset_name", "blender", "--root_dir", "scenes/dense96",
+    "--img_wh", "320", "240", "--near", "0.05", "--far", "12.0",
+    "--bound", "6", "--scale_factor", "1",
+]
+MODEL_FLAGS = [
+    "--model_type", "nerf_tpu", "--predict_normal", "--predict_mirror_mask",
+    "--trace_secondary_rays",
+]
+TRAIN_FLAGS = [
+    "--N_importance", "64", "--noise_std", "1", "--batch_size", "1024",
+    "--optimizer", "adam", "--lr", "5e-4", "--lr_scheduler", "steplr",
+    "--decay_gamma", "0.5", "--chunk", "8192", "--train_geometry_stage",
+    "--use_plane_consistent_loss", "--only_trace_rays_in_mirrors",
+    "--val_idx", "0",
+    # novel-ray regularization: the round-2 recipe that removed the fog
+    # floater (STATUS.md round-2 quality evidence)
+    "--novel_ray_batch", "512", "--novel_pose_jitter", "0.2",
+    "--novel_ray_loss_weight", "3e-3", "--novel_ray_start_epoch", "4",
+]
+EVAL_FLAGS = [
+    "--N_importance", "64", "--chunk", "16384", "--split", "test",
+    "--max_recursive_level", "2",
+]
+
+
+def run_arm(arm: dict, results_path: str) -> None:
+    name = arm["name"]
+    epochs = int(arm.get("epochs", 12))
+    decay = arm.get("decay_step", ["4", "8", "12"])
+    train_cmd = (
+        [sys.executable, "train.py"] + DATA_FLAGS + MODEL_FLAGS + TRAIN_FLAGS
+        + ["--num_epochs", str(epochs), "--decay_step"] + [str(d) for d in decay]
+        + [str(f) for f in arm.get("train_flags", [])]
+        + ["--exp_name", f"sweep_{name}"])
+    t0 = time.time()
+    print(f"[sweep] TRAIN {name}: {' '.join(train_cmd)}", flush=True)
+    tr = subprocess.run(train_cmd, cwd=REPO, capture_output=True, text=True)
+    train_s = time.time() - t0
+    if tr.returncode != 0:
+        rec = {"name": name, "status": "train_failed",
+               "tail": tr.stdout[-2000:] + tr.stderr[-2000:]}
+        with open(results_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return
+    runs = sorted(glob.glob(os.path.join(REPO, "logs", f"*sweep_{name}")))
+    ckpt = os.path.join(runs[-1], "last.ckpt.npz")
+    rec = {"name": name, "status": "ok", "ckpt": ckpt,
+           "train_minutes": round(train_s / 60, 1),
+           "epochs": epochs, "decay": decay,
+           "train_flags": arm.get("train_flags", [])}
+    # eval held-out: unfused then fused
+    for tag, extra in (("psnr_unfused", []), ("psnr_fused", ["--fused_field"])):
+        ev_cmd = (
+            [sys.executable, "eval.py"] + DATA_FLAGS + MODEL_FLAGS + EVAL_FLAGS
+            + [str(f) for f in arm.get("train_flags", [])]
+            + [str(f) for f in arm.get("eval_flags", [])] + extra
+            + ["--ckpt_path", ckpt, "--exp_name", f"eval_sweep_{name}_{tag}"])
+        ev = subprocess.run(ev_cmd, cwd=REPO, capture_output=True, text=True)
+        pj = os.path.join(REPO, "results", "blender",
+                          f"eval_sweep_{name}_{tag}", "psnr.json")
+        if ev.returncode == 0 and os.path.exists(pj):
+            with open(pj) as f:
+                rec[tag] = json.load(f)
+        else:
+            rec[tag] = {"error": ev.stdout[-800:] + ev.stderr[-800:]}
+    with open(results_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"[sweep] DONE {name}: {json.dumps(rec)[:400]}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queue", default="sweeps/queue.jsonl")
+    ap.add_argument("--results", default="sweeps/results.jsonl")
+    ap.add_argument("--idle_exit_s", type=int, default=900,
+                    help="exit after this long with an empty queue")
+    args = ap.parse_args()
+    qpath = os.path.join(REPO, args.queue)
+    rpath = os.path.join(REPO, args.results)
+    os.makedirs(os.path.dirname(qpath), exist_ok=True)
+    done_path = qpath + ".done"
+    idle_since = time.time()
+    while True:
+        lines = []
+        if os.path.exists(qpath):
+            with open(qpath) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+        ndone = 0
+        if os.path.exists(done_path):
+            with open(done_path) as f:
+                ndone = sum(1 for ln in f if ln.strip())
+        pending = lines[ndone:]
+        if not pending:
+            if time.time() - idle_since > args.idle_exit_s:
+                print("[sweep] queue idle, exiting", flush=True)
+                return
+            time.sleep(20)
+            continue
+        idle_since = time.time()
+        arm = json.loads(pending[0])
+        run_arm(arm, rpath)
+        with open(done_path, "a") as f:
+            f.write(pending[0] + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,7 @@ def main(cfg=None):
 
     from mirror_nerf_tpu.data import get_dataset
     from mirror_nerf_tpu.eval.metrics import psnr as psnr_metric
+    from mirror_nerf_tpu.eval.metrics import ssim as ssim_metric
     from mirror_nerf_tpu.parallel.mesh import get_mesh
     from mirror_nerf_tpu.train.loop import (Trainer, make_trace_settings,
                                             render_image_chunked)
@@ -102,15 +103,24 @@ def main(cfg=None):
                 and not cfg.woMaskRGBtoBlack:
             rgbs = np.where((sample["mirror_mask"] > 0.5)[:, None], 0.0, rgbs)
         val_psnr = psnr_metric(res[f"rgb_{typ}"], rgbs)
+        # val SSIM alongside PSNR (reference logs both: metrics.py:14-23,
+        # train.py:515-543)
+        w_, h_ = cfg.img_wh
+        val_ssim = ssim_metric(
+            np.clip(res[f"rgb_{typ}"].reshape(h_, w_, 3), 0, 1),
+            rgbs.reshape(h_, w_, 3))
         print(f"[epoch {epoch}] train_psnr={aux.get('psnr', float('nan')):.2f} "
-              f"val_psnr={val_psnr:.2f} rays/s={aux.get('rays_per_sec', 0):.0f}")
+              f"val_psnr={val_psnr:.2f} val_ssim={val_ssim:.4f} "
+              f"rays/s={aux.get('rays_per_sec', 0):.0f}")
         grid = visualize_val_image(cfg.img_wh, sample, res)
         save_image(os.path.join(log_path, f"val_epoch{epoch}.png"), grid)
-        record = {"epoch": epoch, "val_psnr": val_psnr, **aux}
+        record = {"epoch": epoch, "val_psnr": val_psnr,
+                  "val_ssim": val_ssim, **aux}
         with open(os.path.join(log_path, "val_metrics.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
         if tb is not None:
             tb.add_scalar("val/psnr", val_psnr, tr.global_step)
+            tb.add_scalar("val/ssim", val_ssim, tr.global_step)
             for k, v in aux.items():
                 tb.add_scalar(f"train/{k}", v, tr.global_step)
             tb.add_image("val/panels", grid.transpose(2, 0, 1), tr.global_step)
