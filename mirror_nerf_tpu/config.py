@@ -137,6 +137,11 @@ class Config:
     # rematerialize the traced render in the backward pass (trades ~1 extra
     # forward for O(1) activation memory — enables larger train batches)
     use_remat: bool = False
+    # training-side fused density+∇σ custom-VJP kernel for the CP-grid
+    # model (ops/pallas/fused_cp_train.py): auto = on when training
+    # nerf_tpu on TPU; exact to fp32 roundoff vs the XLA path incl.
+    # grad-of-grad (tests/test_fused_cp_train.py)
+    fused_train: str = "auto"  # auto | on | off
     # train steps per dispatch: lax.scan over K sequential optimizer steps
     # inside one jit call — identical math/trajectory to K single-step
     # dispatches (same batches, same per-step rng keys); only the
@@ -257,6 +262,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     # TPU-specific
     p.add_argument("--compact_frac", type=float, default=d.compact_frac)
     p.add_argument("--use_remat", action="store_true", default=False)
+    p.add_argument("--fused_train", type=str, default=d.fused_train,
+                   choices=["auto", "on", "off"])
     p.add_argument("--steps_per_dispatch", type=int,
                    default=d.steps_per_dispatch)
     p.add_argument("--seed", type=int, default=d.seed)

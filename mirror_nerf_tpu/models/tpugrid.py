@@ -49,6 +49,13 @@ class TPUGridField(NGPField):
                 and self.hidden_dim_color == 64 and self.sh_degree == 4)
 
     @property
+    def supports_fused_train(self) -> bool:
+        """Training-side fused density+∇σ custom-VJP kernel
+        (ops/pallas/fused_cp_train.py): needs the standard 2-layer σ-net
+        (any grid_levels / bound work — the kernel is generic in G, R)."""
+        return self.num_layers == 2 and self.geo_feat_dim == 15
+
+    @property
     def in_dim(self) -> int:
         return self.cp_spec.output_dim  # 32, same as the hash grid
 

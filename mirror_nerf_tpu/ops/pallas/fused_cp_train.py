@@ -1,0 +1,488 @@
+"""Fused TRAINING kernels for the CP-grid field: density + σ-gradient with a
+hand-derived custom VJP.
+
+The train step's device profile (tools/profile_train.py, BASELINE.md) is a
+long tail of XLA fusions over (N·S, G)/(N·S, R) encoder tensors — every
+autodiff pass of the CP encoder re-streams ~33 MB intermediates through HBM
+at ~5-10% MXU utilization, while the eval kernel runs the same math at 84%.
+This module moves the training-side density pipeline (CP encode → σ-net,
+WITH the σ-gradient normal) into two Pallas kernels:
+
+  * forward: primal + three forward-mode tangent streams (one per coordinate
+    axis) evaluated in VMEM — the hat-basis tangent is one extra table
+    matmul per axis/level (`A @ B'`), and the net tangents run as a single
+    lane-stacked matmul over (·, 3L);
+  * backward: full rematerialization of the forward in VMEM, then the
+    reverse pass — including the ∂/∂θ⟨n̄, ∇σ⟩ second-order terms — with
+    weight gradients accumulated across grid steps in VMEM-resident
+    accumulators. HBM traffic per pass is inputs + cotangents + d_x only.
+
+Exactness: σ(x) through this pipeline is piecewise-multilinear (CP product)
+composed with a piecewise-linear net. The ONLY curvature is the multilinear
+product, which the backward handles exactly by product rule; hat-basis and
+ReLU kinks have measure-zero curvature and follow XLA's sign/mask
+conventions, so value/grad/grad-of-grad match `jax.vjp` of the XLA path
+a.e. (pinned by tests/test_fused_cp_train.py).
+
+Reference counterpart: tcnn's fused training path
+(`/root/reference/models/mirror_nerf_tcnn.py:39-49`, trained with
+precision=16, `train.py:586`) — the reference's speed model *trains* through
+fused CUDA; this is the TPU equivalent for `--model_type nerf_tpu`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# The backward's live set (feats/tangent streams + per-level (G, L) bases +
+# weight-grad accumulators, all rematerialized in VMEM) OOMs the 16 MB
+# scoped-vmem limit at 1024 lanes (23 MB measured); 512 fits.
+TRAIN_LANES = 512
+
+
+@dataclass(frozen=True)
+class CPTrainSpec:
+    levels: Tuple[Tuple[int, int], ...]  # (resolution G, rank R) per scale
+    bound: float
+    n_features: int = 32
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    lanes: int = TRAIN_LANES
+    # fp32 in interpret mode (XLA:CPU can't run large bf16 dots); bf16
+    # operand / fp32 accumulate on TPU — the MXU's DEFAULT-precision
+    # behavior for the XLA path too (docs/kernels.md)
+    dtype: str = "bfloat16"
+    # False: density-only variant (σ, geo; no ∇σ tangent streams) — for
+    # bundles whose σ-gradient is never consumed (secondary-ray renders
+    # when reflection uses the predicted normal; novel-ray regularization)
+    tangents: bool = True
+    # False additionally skips d_x in the backward (saves the slope-basis
+    # table pass) — for inputs that carry no gradient (novel-ray reg)
+    need_dx: bool = True
+
+    @property
+    def jdtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def total_rank(self) -> int:
+        return sum(r for _, r in self.levels)
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mm_t(a, b):
+    """Contract the LANE axis of two (rows, L) operands -> (rows_a, rows_b)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _hat_and_slope(x01_row, g: int, dtype):
+    """(1, L) coords -> hat basis B (G, L) and UNSCALED slope basis
+    Bp = (G-1) · dB/dxf (values in {0, ±(G-1)}, exactly bf16-representable).
+    Sign conventions match XLA's autodiff of max(0, 1-|u|) (sign(0) = 0)."""
+    xf = jnp.clip(x01_row, 0.0, 1.0) * (g - 1)
+    j = jax.lax.broadcasted_iota(
+        jnp.int32, (g, x01_row.shape[-1]), 0).astype(jnp.float32)
+    u = xf - j
+    b = jnp.maximum(0.0, 1.0 - jnp.abs(u))
+    bp = jnp.where(b > 0, -jnp.sign(u) * float(g - 1), 0.0)
+    return b.astype(dtype), bp.astype(dtype)
+
+
+def _level_fg(spec: CPTrainSpec, w, x01, inb, li: int):
+    """Rebuild the interpolated rows f_a and their x-derivatives g_a for one
+    level — used per level so the (G, L) bases are never live across levels
+    (VMEM). Returns ([f_0, f_1, f_2], [g_0, g_1, g_2]) of (R, L) fp32."""
+    gres, _ = spec.levels[li]
+    bf = spec.jdtype
+    fs, gs = [], []
+    for a in range(3):
+        b_, bp_ = _hat_and_slope(x01[a:a + 1], gres, bf)
+        t = w[f"a{a}l{li}"][...].astype(bf)  # (R, G)
+        fs.append(_mm(t, b_))
+        gs.append(_mm(t, bp_) * inb[a])
+    return fs, gs
+
+
+def _scale_rows(spec: CPTrainSpec, x3):
+    """x01 (3, L) plus the per-axis raw-coord chain rows (clip-grad mask ×
+    1/(2·bound)); the (G-1) factor lives in the slope basis."""
+    inv2b = 1.0 / (2.0 * spec.bound)
+    x01 = (x3 + spec.bound) * inv2b
+    inb = [((x01[a:a + 1] >= 0.0) & (x01[a:a + 1] <= 1.0))
+           .astype(jnp.float32) * inv2b for a in range(3)]
+    return x01, inb
+
+
+def _forward_streams(spec: CPTrainSpec, w, x3):
+    """Shared primal + tangent evaluation used by both kernels.
+
+    x3: (3, L) raw world coords. Returns a dict of live VMEM tensors.
+    Tangents are w.r.t. the RAW coords (the 1/(2·bound) chain and the
+    clip-gradient mask are folded into the per-axis scale rows).
+    """
+    bf = spec.jdtype
+    lanes = x3.shape[-1]
+    x01, inb = _scale_rows(spec, x3)
+    per_level, per_level_t = [], [[], [], []]
+    if not spec.tangents:
+        # density-only: skip the slope bases and tangent products entirely
+        for li in range(len(spec.levels)):
+            gres, _ = spec.levels[li]
+            prod = None
+            for a in range(3):
+                b_, _ = _hat_and_slope(x01[a:a + 1], gres, bf)
+                fa = _mm(w[f"a{a}l{li}"][...].astype(bf), b_)
+                prod = fa if prod is None else prod * fa
+            per_level.append(prod)
+    else:
+        for li in range(len(spec.levels)):
+            (f0, f1, f2), (g0, g1, g2) = _level_fg(spec, w, x01, inb, li)
+            per_level.append(f0 * f1 * f2)
+            per_level_t[0].append(g0 * f1 * f2)
+            per_level_t[1].append(f0 * g1 * f2)
+            per_level_t[2].append(f0 * f1 * g2)
+    feats = jnp.concatenate(per_level, axis=0)  # (ΣR, L)
+
+    fold = w["fold"][...].astype(bf)  # (F, ΣR)
+    s1 = w["s1"][...].astype(bf)      # (H, F)
+    s2 = w["s2"][...].astype(bf)      # (16, H)
+    e = _mm(fold, feats.astype(bf))           # (F, L)
+    z1 = _mm(s1, e.astype(bf))                # (H, L)
+    dmask = (z1 > 0).astype(jnp.float32)
+    h = jnp.maximum(z1, 0.0)
+    sg = _mm(s2, h.astype(bf))                # (16, L)
+    if not spec.tangents:
+        return dict(feats=feats, tf=None, e=e, et=None, dmask=dmask,
+                    h=h, t=None, sg=sg,
+                    grad=jnp.zeros((3, lanes), jnp.float32))
+    tf = [jnp.concatenate(per_level_t[a], axis=0) for a in range(3)]
+    et = [_mm(fold, tf[a].astype(bf)) for a in range(3)]
+    t = [dmask * _mm(s1, et[a].astype(bf)) for a in range(3)]
+    grad = jnp.concatenate(
+        [_mm(s2[0:1, :], t[a].astype(bf)) for a in range(3)], axis=0)
+    return dict(feats=feats, tf=tf, e=e, et=et, dmask=dmask,
+                h=h, t=t, sg=sg, grad=grad)
+
+
+def _fwd_kernel(spec: CPTrainSpec, names, x_ref, *refs):
+    out_ref = refs[-1]
+    w = {n: r for n, r in zip(names, refs[:-1])}
+    s = _forward_streams(spec, w, x_ref[0])
+    lanes = x_ref.shape[-1]
+    out_ref[0] = jnp.concatenate(
+        [s["sg"], s["grad"], jnp.zeros((5, lanes), jnp.float32)], axis=0)
+
+
+def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
+    """Reverse pass with remat. Outputs (in order): d_x (3, L) block, then
+    accumulators d_a{a}l{l} (R, G), d_fold (F, ΣR), d_s1 (H, F),
+    d_s2 (16, H) — accumulated across grid steps."""
+    nw = len(names)
+    w = {n: r for n, r in zip(names, refs[:nw])}
+    dx_ref = refs[nw]
+    acc_refs = {n: r for n, r in zip(names, refs[nw + 1:])}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for n in names:
+            acc_refs[n][...] = jnp.zeros_like(acc_refs[n])
+
+    bf = spec.jdtype
+    x3 = x_ref[0]
+    lanes = x3.shape[-1]
+    s = _forward_streams(spec, w, x3)
+
+    cot = cot_ref[0]
+    sgbar = cot[0:16, :]   # [σ̄ ; ḡeo]
+    nbar = cot[16:19, :]   # cotangent of ∇σ
+
+    s1 = w["s1"][...].astype(bf)    # (H, F)
+    s2 = w["s2"][...].astype(bf)    # (16, H)
+    fold = w["fold"][...].astype(bf)
+
+    # --- σ-net reverse (primal stream) ---
+    # contract the 16-row axis: s2ᵀ @ sgbar -> (H, L)
+    hbar = jax.lax.dot_general(s2, sgbar.astype(bf),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    z1bar = s["dmask"] * hbar
+    d_s2 = _mm_t(sgbar.astype(bf), s["h"].astype(bf))  # (16, H)
+
+    d_s1 = _mm_t(z1bar.astype(bf), s["e"].astype(bf))
+    ebar = jax.lax.dot_general(s1, z1bar.astype(bf),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (F, L)
+    featsbar = jax.lax.dot_general(fold, ebar.astype(bf),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    d_fold = _mm_t(ebar.astype(bf), s["feats"].astype(bf))
+    tfbar = None
+    if spec.tangents:
+        # --- ∇σ-output reverse (tangent streams, per axis) ---
+        # ∇σ_a = s2[0]·t_a ⇒ t̄_a = n̄_a ⊗ s2[0]; S̄2[0] += Σ_a t_a n̄_aᵀ
+        s2r0 = s2[0:1, :].astype(jnp.float32)  # (1, H)
+        d_s2_row0 = sum(
+            _mm_t(nbar[a:a + 1, :].astype(bf), s["t"][a].astype(bf))
+            for a in range(3))  # (1, H)
+        d_s2 = d_s2 + jnp.pad(d_s2_row0, ((0, 15), (0, 0)))
+
+        dm = s["dmask"]
+        dt = [dm * (s2r0.T * nbar[a:a + 1, :]) for a in range(3)]  # (H, L)
+        etbar = [jax.lax.dot_general(s1, dt[a].astype(bf),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 for a in range(3)]  # (F, L)
+        for a in range(3):
+            d_s1 = d_s1 + _mm_t(dt[a].astype(bf), s["et"][a].astype(bf))
+        tfbar = [jax.lax.dot_general(fold, etbar[a].astype(bf),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+                 for a in range(3)]
+        for a in range(3):
+            d_fold = d_fold + _mm_t(etbar[a].astype(bf),
+                                    s["tf"][a].astype(bf))
+
+    # --- per-level product rule + table grads + d_x ---
+    x01, inb = _scale_rows(spec, x3)
+    off = 0
+    xbar = [jnp.zeros((1, lanes), jnp.float32) for _ in range(3)]
+    for li, (gres, r) in enumerate(spec.levels):
+        pb = featsbar[off:off + r, :]
+        if spec.tangents or spec.need_dx:
+            (f0, f1, f2), (g0, g1, g2) = _level_fg(spec, w, x01, inb, li)
+            gs = (g0, g1, g2)
+        else:
+            bf_ = spec.jdtype
+            fs = []
+            for a in range(3):
+                b_, _ = _hat_and_slope(x01[a:a + 1], gres, bf_)
+                fs.append(_mm(w[f"a{a}l{li}"][...].astype(bf_), b_))
+            f0, f1, f2 = fs
+            gs = None
+        # f̄_a: from the primal product AND (tangent mode) from the two
+        # tangent streams where f_a appears as a passive factor — the exact
+        # second-order mixed terms of the multilinear product
+        fbar = [pb * (f1 * f2), pb * (f0 * f2), pb * (f0 * f1)]
+        gbar = None
+        if spec.tangents:
+            qb = [tfbar[a][off:off + r, :] for a in range(3)]
+            fbar = [
+                fbar[0] + qb[1] * (g1 * f2) + qb[2] * (f1 * g2),
+                fbar[1] + qb[0] * (g0 * f2) + qb[2] * (f0 * g2),
+                fbar[2] + qb[0] * (g0 * f1) + qb[1] * (f0 * g1),
+            ]
+            gbar = [qb[0] * (f1 * f2), qb[1] * (f0 * f2), qb[2] * (f0 * f1)]
+        for a in range(3):
+            b_, bp_ = _hat_and_slope(x01[a:a + 1], gres, bf)
+            contrib = _mm_t(fbar[a].astype(bf), b_)
+            if spec.tangents:
+                contrib = contrib + _mm_t((gbar[a] * inb[a]).astype(bf), bp_)
+            nm = f"a{a}l{li}"
+            acc_refs[nm][...] += contrib
+            if gs is not None:
+                # d x_a += Σ_R f̄_a ⊙ g_a (g carries the chain scale;
+                # dg/dx = A @ B'' = 0 a.e.)
+                xbar[a] = xbar[a] + jnp.sum(
+                    fbar[a] * gs[a], axis=0, keepdims=True)
+        off += r
+    dx_ref[0] = jnp.concatenate(xbar, axis=0)
+
+    acc_refs["fold"][...] += d_fold
+    acc_refs["s1"][...] += d_s1
+    acc_refs["s2"][...] += d_s2
+
+
+def _pack_weights(axes, fold, s1, s2):
+    """Transpose the param pytree into kernel orientation (out, in)."""
+    w = {}
+    for a in range(3):
+        for li in range(len(axes[a])):
+            w[f"a{a}l{li}"] = axes[a][li].T  # (R, G)
+    w["fold"] = fold.T  # (F, ΣR)
+    w["s1"] = s1.T      # (H, F)
+    w["s2"] = s2.T      # (16, H)
+    return w
+
+
+def _blocks_from_flat(x, lanes):
+    """(T, 3) -> (NB, 3, L) axis-major blocks + original length."""
+    t = x.shape[0]
+    nb = max((t + lanes - 1) // lanes, 1)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, nb * lanes - t), (0, 0)))
+    return xp.reshape(nb, lanes, 3).transpose(0, 2, 1), t
+
+
+def _w_specs(w, names):
+    return [pl.BlockSpec(w[nm].shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM) for nm in names]
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _fwd_call(w, x3, spec: CPTrainSpec, interpret: bool):
+    nb, _, lanes = x3.shape
+    names = sorted(w.keys())
+    blk3 = pl.BlockSpec((1, 3, lanes), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec, names),
+        grid=(nb,),
+        in_specs=[blk3, *_w_specs(w, names)],
+        out_specs=pl.BlockSpec((1, 24, lanes), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 24, lanes), jnp.float32),
+        interpret=interpret,
+    )(x3, *[w[nm] for nm in names])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def _bwd_call(w, x3, cot, spec: CPTrainSpec, interpret: bool):
+    nb, _, lanes = x3.shape
+    names = sorted(w.keys())
+    blk3 = pl.BlockSpec((1, 3, lanes), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blkc = pl.BlockSpec((1, 24, lanes), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    acc_specs = [pl.BlockSpec(w[nm].shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM) for nm in names]
+    acc_shapes = [jax.ShapeDtypeStruct(w[nm].shape, jnp.float32)
+                  for nm in names]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec, names),
+        grid=(nb,),
+        in_specs=[blk3, blkc, *_w_specs(w, names)],
+        out_specs=[pl.BlockSpec((1, 3, lanes), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM), *acc_specs],
+        out_shape=[jax.ShapeDtypeStruct((nb, 3, lanes), jnp.float32),
+                   *acc_shapes],
+        interpret=interpret,
+    )(x3, cot, *[w[nm] for nm in names])
+    dx3 = outs[0]
+    d_w = {nm: v for nm, v in zip(names, outs[1:])}
+    return dx3, d_w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_density_grad(spec: CPTrainSpec, interpret: bool,
+                       axes, fold, s1, s2, xyz):
+    """(T, 3) raw coords -> (σ (T,), geo (T, geo_feat_dim), ∇σ (T, 3)).
+
+    axes: 3-tuple of per-level (G, R) tables; fold (ΣR, F); s1 (F, H);
+    s2 (H, 16). Differentiable w.r.t. all array args with a hand-written
+    VJP (both kernels above); ∇σ is a PRIMAL output, so the normal loss's
+    grad-of-grad is handled inside the single custom backward.
+    """
+    out, _ = _fdg_fwd(spec, interpret, axes, fold, s1, s2, xyz)
+    return out
+
+
+def _fdg_fwd(spec, interpret, axes, fold, s1, s2, xyz):
+    w = _pack_weights(axes, fold, s1, s2)
+    x3, t = _blocks_from_flat(xyz, spec.lanes)
+    out = _fwd_call(w, x3, spec, interpret)
+    rows = out.transpose(1, 0, 2).reshape(24, -1)[:, :t]  # (24, T)
+    sigma = rows[0]
+    geo = rows[1:1 + spec.geo_feat_dim].T
+    grad = rows[16:19].T
+    return (sigma, geo, grad), (axes, fold, s1, s2, xyz)
+
+
+def _fdg_bwd(spec, interpret, res, cots):
+    axes, fold, s1, s2, xyz = res
+    dsig, dgeo, dgrad = cots
+    t = xyz.shape[0]
+    lanes = spec.lanes
+    nb = max((t + lanes - 1) // lanes, 1)
+    pad = nb * lanes - t
+    cot_flat = jnp.concatenate(
+        [dsig[:, None].astype(jnp.float32),
+         dgeo.astype(jnp.float32),
+         jnp.zeros((t, 16 - 1 - spec.geo_feat_dim), jnp.float32),
+         dgrad.astype(jnp.float32),
+         jnp.zeros((t, 5), jnp.float32)], axis=1)  # (T, 24)
+    cot = jnp.pad(cot_flat, ((0, pad), (0, 0)))
+    cot = cot.reshape(nb, lanes, 24).transpose(0, 2, 1)
+    w = _pack_weights(axes, fold, s1, s2)
+    x3, _ = _blocks_from_flat(xyz, lanes)
+    dx3, d_w = _bwd_call(w, x3, cot, spec, interpret)
+    dxyz = dx3.transpose(0, 2, 1).reshape(-1, 3)[:t]
+    d_axes = tuple(
+        tuple(d_w[f"a{a}l{li}"].T for li in range(len(spec.levels)))
+        for a in range(3))
+    return (d_axes, d_w["fold"].T, d_w["s1"].T, d_w["s2"].T, dxyz)
+
+
+fused_density_grad.defvjp(_fdg_fwd, _fdg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_density(spec: CPTrainSpec, interpret: bool,
+                  axes, fold, s1, s2, xyz):
+    """Density-only variant: (T, 3) -> (σ (T,), geo (T, geo_feat_dim)).
+    Use with spec.tangents=False (no ∇σ streams); spec.need_dx=False also
+    skips the slope-basis pass when xyz carries no gradient."""
+    out, _ = _fd_fwd(spec, interpret, axes, fold, s1, s2, xyz)
+    return out
+
+
+def _fd_fwd(spec, interpret, axes, fold, s1, s2, xyz):
+    (sigma, geo, _), res = _fdg_fwd(spec, interpret, axes, fold, s1, s2, xyz)
+    return (sigma, geo), res
+
+
+def _fd_bwd(spec, interpret, res, cots):
+    dsig, dgeo = cots
+    t = res[-1].shape[0]
+    return _fdg_bwd(spec, interpret, res,
+                    (dsig, dgeo, jnp.zeros((t, 3), jnp.float32)))
+
+
+fused_density.defvjp(_fd_fwd, _fd_bwd)
+
+
+def density_fused(field, params: dict, xyz_flat: jnp.ndarray,
+                  need_dx: bool = True, interpret: bool = None):
+    """Fused replacement for `field.density` on the CP-grid field
+    (σ, geo; differentiable w.r.t. params and — when need_dx — xyz)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = CPTrainSpec(
+        levels=tuple(field.grid_levels), bound=float(field.bound),
+        geo_feat_dim=field.geo_feat_dim, hidden_dim=field.hidden_dim,
+        dtype="float32" if interpret else "bfloat16",
+        tangents=False, need_dx=need_dx,
+    )
+    axes = tuple(tuple(params["grid"]["axes"][a]) for a in range(3))
+    return fused_density(
+        spec, interpret, axes, params["grid"]["fold"],
+        params["sigma_net"][0]["w"], params["sigma_net"][1]["w"], xyz_flat)
+
+
+def density_with_grad_fused(field, params: dict, xyz_flat: jnp.ndarray,
+                            interpret: bool = None):
+    """Drop-in fused replacement for renderer._density_with_grad on the
+    CP-grid field (same contract: σ, geo, ∇σ; differentiable incl.
+    grad-of-grad)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = CPTrainSpec(
+        levels=tuple(field.grid_levels), bound=float(field.bound),
+        geo_feat_dim=field.geo_feat_dim, hidden_dim=field.hidden_dim,
+        dtype="float32" if interpret else "bfloat16",
+    )
+    axes = tuple(tuple(params["grid"]["axes"][a]) for a in range(3))
+    return fused_density_grad(
+        spec, interpret, axes, params["grid"]["fold"],
+        params["sigma_net"][0]["w"], params["sigma_net"][1]["w"], xyz_flat)

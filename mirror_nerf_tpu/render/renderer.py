@@ -67,6 +67,10 @@ class RenderSettings:
     # (ops/pallas/fused_mlp.py) — forward-only, so it engages only when the
     # σ-gradient normal is off (eval/bench path). bf16 numerics.
     fused_field: bool = False
+    # TRAINING-side fused density+∇σ with a hand-written custom VJP
+    # (ops/pallas/fused_cp_train.py). Differentiable incl. grad-of-grad;
+    # engages on compute_normal paths of fields that support it.
+    fused_density: bool = False
     # generation-2 fused path for the PE-MLP: transposed kernel with
     # in-kernel compositing (applies when fused_field is set and the pass is
     # plain eval — no noise/occupancy/early-term masks)
@@ -152,10 +156,22 @@ def _inference(
             priority_flat)
 
     if rs.compute_normal:
-        sigma_flat, geo_flat, grad_flat = _density_with_grad(field, params, xyz_flat)
+        if rs.fused_density and getattr(field, "supports_fused_train", False):
+            from ..ops.pallas.fused_cp_train import density_with_grad_fused
+
+            sigma_flat, geo_flat, grad_flat = density_with_grad_fused(
+                field, params, xyz_flat)
+        else:
+            sigma_flat, geo_flat, grad_flat = _density_with_grad(
+                field, params, xyz_flat)
         normals = l2_normalize(-grad_flat).reshape(N, S, 3)
     else:
-        sigma_flat, geo_flat = field.density(params, xyz_flat)
+        if rs.fused_density and getattr(field, "supports_fused_train", False):
+            from ..ops.pallas.fused_cp_train import density_fused
+
+            sigma_flat, geo_flat = density_fused(field, params, xyz_flat)
+        else:
+            sigma_flat, geo_flat = field.density(params, xyz_flat)
         normals = None
 
     sigmas = sigma_flat.reshape(N, S)

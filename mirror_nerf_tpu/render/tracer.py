@@ -182,6 +182,18 @@ def trace_rays(
         axis=-1,
     )
 
+    # Deeper bundles with a predicted-normal field never consume their
+    # σ-gradient normals (reflection uses the head's normal; normal losses
+    # read the TOP-level dict only; `sec` keeps rgb_/depth_ keys) — skip the
+    # grad-normal computation there. Saves a full density-vjp (or fused
+    # tangent) pass over every secondary sample in training.
+    ts_next = ts
+    if field.predict_normal and ts.render.compute_normal:
+        from dataclasses import replace as _dc_replace
+
+        ts_next = _dc_replace(
+            ts, render=_dc_replace(ts.render, compute_normal=False))
+
     n = rays.shape[0]
     compact = (ts.compact_frac < 1.0 and ts.compact_at(level)
                and int(n * ts.compact_frac) < n)
@@ -203,7 +215,7 @@ def trace_rays(
 
         sec_sub = trace_rays(
             field, params, _compact(secondary_rays),
-            _compact(mirror_mask_gt), k_next, ts, level=level + 1,
+            _compact(mirror_mask_gt), k_next, ts_next, level=level + 1,
             mirror_mask_prev=_compact(mirror_mask),
         )
         pos_c = jnp.minimum(pos, cap - 1)
@@ -226,7 +238,7 @@ def trace_rays(
         results["compact_dropped"] = dropped
     else:
         sec = trace_rays(
-            field, params, secondary_rays, mirror_mask_gt, k_next, ts,
+            field, params, secondary_rays, mirror_mask_gt, k_next, ts_next,
             level=level + 1, mirror_mask_prev=mirror_mask,
         )
         if "compact_dropped" in sec:

@@ -52,6 +52,13 @@ def resolve_fine_pass(cfg, epoch: int) -> str:
 
 def make_trace_settings(cfg, epoch: int, geometry_stage: bool,
                         is_eval: bool, test_time: bool = False) -> TraceSettings:
+    import jax as _jax
+
+    fused_density = (
+        cfg.fused_train == "on"
+        or (cfg.fused_train == "auto" and not is_eval
+            and cfg.model_type == "nerf_tpu"
+            and _jax.default_backend() == "tpu"))
     rs = RenderSettings(
         N_samples=cfg.N_samples,
         N_importance=cfg.N_importance,
@@ -66,6 +73,7 @@ def make_trace_settings(cfg, epoch: int, geometry_stage: bool,
             cfg.detach_density_outside_mirror_for_mask_loss),
         detach_density_for_mask_loss=cfg.detach_density_for_mask_loss,
         detach_density_for_normal_loss=cfg.detach_density_for_normal_loss,
+        fused_density=fused_density,
     )
     return TraceSettings(
         render=rs,
@@ -255,7 +263,8 @@ class Trainer:
                     k_novel = jax.random.fold_in(k_loss, 7)
                     nv = cfg.novel_ray_loss_weight * novel_ray_regularization(
                         field, p, rays[:cfg.novel_ray_batch], k_novel,
-                        cfg.N_samples, cfg.novel_pose_jitter)
+                        cfg.N_samples, cfg.novel_pose_jitter,
+                        fused=ts.render.fused_density)
                     loss = loss + nv
                     loss_dict["novel_ray_reg"] = nv
                 if cfg.cp_tv_loss_weight > 0 and cfg.model_type == "nerf_tpu":

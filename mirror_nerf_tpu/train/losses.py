@@ -199,7 +199,8 @@ def distortion_core(w: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
 
 
 def novel_ray_regularization(field, params: dict, rays: jnp.ndarray,
-                             key, N_samples: int, jitter: float):
+                             key, N_samples: int, jitter: float,
+                             fused: bool = False):
     """Distortion prior along rays cast from JITTERED origins (no color
     target). Train-ray losses are blind to density in space no train ray
     traverses (the fog-floater failure mode, STATUS.md item 7); shifting the
@@ -216,7 +217,14 @@ def novel_ray_regularization(field, params: dict, rays: jnp.ndarray,
     z = stratified_z_vals(k_z, near, far, N_samples, False, 1.0)
     xyz = o[:, None, :] + d[:, None, :] * z[..., None]
     fine = params.get("fine", params["coarse"])
-    sigma, _ = field.density(fine, xyz.reshape(-1, 3))
+    if fused and getattr(field, "supports_fused_train", False):
+        from ..ops.pallas.fused_cp_train import density_fused
+
+        # the jittered origins carry no gradient -> skip d_x (slope pass)
+        sigma, _ = density_fused(field, fine, xyz.reshape(-1, 3),
+                                 need_dx=False)
+    else:
+        sigma, _ = field.density(fine, xyz.reshape(-1, 3))
     w = _composite_weights(sigma.reshape(z.shape), z,
                            jnp.zeros_like(z))
     return distortion_core(w, z)
