@@ -47,6 +47,16 @@ class Config:
     lr: float = 5e-4
     momentum: float = 0.9
     weight_decay: float = 0.0
+    # Adam epsilon: the reference sticks with torch's 1e-8 for the MLP
+    # flagship; grid-table models (NGP/TensoRF lineage) train with a much
+    # smaller eps (1e-15) so near-zero second moments don't freeze table
+    # entries — exposed for the nerf_tpu quality recipe.
+    adam_eps: float = 1e-8
+    # Per-group lr: multiplier applied to updates of the encoder grid
+    # subtree (params[*]["grid"]). TensoRF trains grids at ~20-40x the MLP
+    # lr (0.02 vs 1e-3); the reference gets the same effect from tcnn's
+    # internal scaling. 1.0 = off (exact legacy trajectory).
+    grid_lr_mult: float = 1.0
     lr_scheduler: str = "steplr"  # steplr | cosine | poly
     warmup_multiplier: float = 1.0
     warmup_epochs: int = 0
@@ -188,6 +198,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=d.lr)
     p.add_argument("--momentum", type=float, default=d.momentum)
     p.add_argument("--weight_decay", type=float, default=d.weight_decay)
+    p.add_argument("--adam_eps", type=float, default=d.adam_eps)
+    p.add_argument("--grid_lr_mult", type=float, default=d.grid_lr_mult)
     p.add_argument("--lr_scheduler", type=str, default=d.lr_scheduler,
                    choices=["steplr", "cosine", "poly"])
     p.add_argument("--warmup_multiplier", type=float, default=d.warmup_multiplier)

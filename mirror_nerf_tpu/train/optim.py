@@ -103,20 +103,51 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def scale_grid_updates(mult: float) -> optax.GradientTransformation:
+    """Per-group lr: scale updates of the encoder grid subtree
+    (any leaf whose pytree path contains a dict key 'grid').
+
+    Chained AFTER the base optimizer this multiplies the final (already
+    lr-scaled) step, i.e. an exact per-group lr — the TensoRF/NGP recipe
+    of training grid tables 20-40x hotter than the MLP heads.
+    """
+    import jax
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def scale(path, u):
+            in_grid = any(getattr(k, "key", None) == "grid" for k in path)
+            return u * mult if in_grid else u
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     sched = make_lr_schedule(cfg, steps_per_epoch)
     if cfg.optimizer == "sgd":
         tx = optax.sgd(sched, momentum=cfg.momentum)
         if cfg.weight_decay:
             tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
-        return tx
-    if cfg.optimizer == "adam":
-        return optax.adamw(sched, eps=1e-8, weight_decay=cfg.weight_decay) \
-            if cfg.weight_decay else optax.adam(sched, eps=1e-8)
-    if cfg.optimizer == "radam":
-        return optax.radam(sched)
-    if cfg.optimizer == "ranger":
+    elif cfg.optimizer == "adam":
+        eps = getattr(cfg, "adam_eps", 1e-8)
+        tx = optax.adamw(sched, eps=eps, weight_decay=cfg.weight_decay) \
+            if cfg.weight_decay else optax.adam(sched, eps=eps)
+    elif cfg.optimizer == "radam":
+        tx = optax.radam(sched)
+    elif cfg.optimizer == "ranger":
         # ranger = RAdam + Lookahead (reference utils/__init__.py:61-66)
-        return lookahead(optax.radam(sched), sync_period=6,
-                         slow_step_size=0.5)
-    raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+        tx = lookahead(optax.radam(sched), sync_period=6,
+                       slow_step_size=0.5)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    mult = getattr(cfg, "grid_lr_mult", 1.0)
+    if mult != 1.0:
+        tx = optax.chain(tx, scale_grid_updates(mult))
+    return tx

@@ -134,6 +134,51 @@ class TestOptimizers:
         assert hist[2] == pytest.approx(slow0 + 0.5 * (0.7 - slow0))
         assert float(state["slow"]["w"][0]) == pytest.approx(hist[2])
 
+    def test_grid_lr_mult_scales_only_grid_updates(self):
+        """--grid_lr_mult multiplies the final step of every leaf under a
+        'grid' dict key (at any nesting depth) and leaves the rest exact."""
+        import jax
+        import jax.numpy as jnp
+
+        from mirror_nerf_tpu.train.optim import make_optimizer
+
+        base = Config(optimizer="adam", lr=1e-3, num_epochs=4,
+                      decay_step=(2,), decay_gamma=0.5)
+        hot = Config(optimizer="adam", lr=1e-3, num_epochs=4,
+                     decay_step=(2,), decay_gamma=0.5, grid_lr_mult=8.0)
+        params = {"coarse": {"grid": {"axes": [jnp.ones((4, 2))]},
+                             "sigma_net": [{"w": jnp.ones((2, 2))}]}}
+        grads = jax.tree.map(lambda p: 0.5 * jnp.ones_like(p), params)
+        outs = {}
+        for name, cfg in (("base", base), ("hot", hot)):
+            tx = make_optimizer(cfg, steps_per_epoch=10)
+            st = tx.init(params)
+            upd, _ = tx.update(grads, st, params)
+            outs[name] = upd
+        g_base = np.asarray(outs["base"]["coarse"]["grid"]["axes"][0])
+        g_hot = np.asarray(outs["hot"]["coarse"]["grid"]["axes"][0])
+        np.testing.assert_allclose(g_hot, 8.0 * g_base, rtol=1e-6)
+        m_base = np.asarray(outs["base"]["coarse"]["sigma_net"][0]["w"])
+        m_hot = np.asarray(outs["hot"]["coarse"]["sigma_net"][0]["w"])
+        np.testing.assert_allclose(m_hot, m_base, rtol=0)
+
+    def test_adam_eps_flag_changes_update(self):
+        import jax.numpy as jnp
+
+        from mirror_nerf_tpu.train.optim import make_optimizer
+
+        params = {"w": jnp.ones((4,))}
+        grads = {"w": 1e-9 * jnp.ones((4,))}
+        steps = {}
+        for eps in (1e-8, 1e-15):
+            cfg = Config(optimizer="adam", lr=1e-2, num_epochs=4,
+                         decay_step=(2,), adam_eps=eps)
+            tx = make_optimizer(cfg, steps_per_epoch=10)
+            upd, _ = tx.update(grads, tx.init(params), params)
+            steps[eps] = float(np.asarray(upd["w"])[0])
+        # tiny grads: eps=1e-8 damps the normalized step, 1e-15 does not
+        assert abs(steps[1e-15]) > 2 * abs(steps[1e-8])
+
 
 class TestVisualization:
     def test_panel_grid(self):
