@@ -171,3 +171,99 @@ def test_full_size_checkpoint_mapping():
     m_j = field.mirror_head(params, geo_j)
     np.testing.assert_allclose(np.asarray(sig_j), sig_t.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(m_j), m_t.numpy(), atol=1e-4)
+
+
+# Exact key list of a published reference Lightning checkpoint
+# (train.py:49-66 registers nerf_coarse/nerf_fine as module attributes;
+# models/mirror_nerf.py:59-99 defines the submodule names; the loss module
+# is registered too and must be ignored — utils/__init__.py
+# prefixes_to_ignore). This lets the loader be validated byte-for-byte
+# against the published layout without the released ckpt files.
+def _lightning_key_list(prefix):
+    keys = []
+    for i in range(1, 9):
+        keys += [f"{prefix}.xyz_encoding_{i}.0.weight",
+                 f"{prefix}.xyz_encoding_{i}.0.bias"]
+    keys += [f"{prefix}.xyz_encoding_final.weight",
+             f"{prefix}.xyz_encoding_final.bias",
+             f"{prefix}.dir_encoding.0.weight",
+             f"{prefix}.dir_encoding.0.bias",
+             f"{prefix}.sigma.weight", f"{prefix}.sigma.bias",
+             f"{prefix}.rgb.0.weight", f"{prefix}.rgb.0.bias",
+             f"{prefix}.normal_net.0.weight", f"{prefix}.normal_net.0.bias",
+             f"{prefix}.normal_net.1.weight", f"{prefix}.normal_net.1.bias",
+             f"{prefix}.is_mirror_net.0.weight",
+             f"{prefix}.is_mirror_net.0.bias",
+             f"{prefix}.is_mirror_net.2.weight",
+             f"{prefix}.is_mirror_net.2.bias"]
+    return keys
+
+
+def _shape_of(key):
+    W_, IN_X, IN_D = 256, 63, 27
+    k = key.split(".", 1)[1]
+    if k.startswith("xyz_encoding_") and not k.startswith("xyz_encoding_f"):
+        i = int(k.split(".")[0].rsplit("_", 1)[1])
+        ind = IN_X if i == 1 else (W_ + IN_X if i == 5 else W_)
+        return (W_, ind) if k.endswith("weight") else (W_,)
+    table = {
+        "xyz_encoding_final.weight": (W_, W_),
+        "xyz_encoding_final.bias": (W_,),
+        "dir_encoding.0.weight": (W_ // 2, W_ + IN_D),
+        "dir_encoding.0.bias": (W_ // 2,),
+        "sigma.weight": (1, W_), "sigma.bias": (1,),
+        "rgb.0.weight": (3, W_ // 2), "rgb.0.bias": (3,),
+        "normal_net.0.weight": (W_ // 2, W_), "normal_net.0.bias": (W_ // 2,),
+        "normal_net.1.weight": (3, W_ // 2), "normal_net.1.bias": (3,),
+        "is_mirror_net.0.weight": (W_ // 2, W_),
+        "is_mirror_net.0.bias": (W_ // 2,),
+        "is_mirror_net.2.weight": (1, W_ // 2), "is_mirror_net.2.bias": (1,),
+    }
+    return table[k]
+
+
+def test_lightning_ckpt_file_roundtrip(tmp_path):
+    """A full Lightning .ckpt FILE in the published layout (state_dict with
+    nerf_coarse/nerf_fine + the registered loss module + trainer metadata)
+    loads through load_params_any: every model tensor is consumed, mapped
+    to the right pytree slot with the torch->jax transpose applied, and the
+    non-model keys are ignored."""
+    import jax
+
+    from mirror_nerf_tpu.train.checkpoints import load_params_any
+
+    rng = np.random.default_rng(3)
+    sd = {}
+    for prefix in ("nerf_coarse", "nerf_fine"):
+        for k in _lightning_key_list(prefix):
+            sd[k] = torch.from_numpy(
+                rng.normal(size=_shape_of(k)).astype(np.float32))
+    sd["loss.coef"] = torch.tensor(1.0)  # registered loss module
+    ckpt = {"state_dict": sd, "epoch": 29, "global_step": 120000,
+            "pytorch-lightning_version": "1.5.2",
+            "optimizer_states": [], "lr_schedulers": []}
+    path = str(tmp_path / "epoch=29.ckpt")
+    torch.save(ckpt, path)
+
+    field = MirrorNeRFField()  # published architecture defaults
+    like = {"coarse": field.init(jax.random.PRNGKey(0)),
+            "fine": field.init(jax.random.PRNGKey(1))}
+    params = load_params_any(path, like)
+
+    assert set(params) == {"coarse", "fine"}
+    # structural match with our init tree
+    ja, jb = jax.tree_util.tree_structure(params), \
+        jax.tree_util.tree_structure(like)
+    assert ja == jb
+    # every model tensor consumed exactly once: total element counts match
+    n_src = sum(v.numel() for k, v in sd.items() if k.startswith("nerf_"))
+    n_dst = sum(np.asarray(v).size
+                for v in jax.tree_util.tree_leaves(params))
+    assert n_src == n_dst
+    # transpose applied: torch (out,in) -> ours (in,out)
+    w_t = sd["nerf_fine.xyz_encoding_1.0.weight"].numpy()
+    np.testing.assert_array_equal(
+        np.asarray(params["fine"]["trunk"][0]["w"]), w_t.T)
+    b_t = sd["nerf_coarse.sigma.bias"].numpy()
+    np.testing.assert_array_equal(
+        np.asarray(params["coarse"]["sigma"]["b"]), b_t)
