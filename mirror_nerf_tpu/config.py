@@ -162,6 +162,10 @@ class Config:
     mesh_shape: Tuple[int, ...] = ()  # () -> use all local devices on one axis
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 for the ngp path
+    # With --compute_dtype bfloat16: keep the σ-gradient (analytic normal)
+    # density pass in fp32. Probes whether bf16 training's measured ~2 dB
+    # held-out loss (STATUS.md round 2) is quantized normal supervision.
+    fp32_sigma_grad: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -281,6 +285,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--param_dtype", type=str, default=d.param_dtype)
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype)
+    p.add_argument("--fp32_sigma_grad", action="store_true",
+                   default=d.fp32_sigma_grad)
     return p
 
 

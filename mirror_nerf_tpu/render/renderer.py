@@ -71,6 +71,12 @@ class RenderSettings:
     # (ops/pallas/fused_cp_train.py). Differentiable incl. grad-of-grad;
     # engages on compute_normal paths of fields that support it.
     fused_density: bool = False
+    # bf16-training probe: evaluate the σ-gradient (analytic normal) density
+    # pass in fp32 even when the field's compute_dtype is bfloat16 — isolates
+    # whether the measured ~2 dB bf16-training generalization loss comes from
+    # quantized normal supervision (the only second-order signal in training)
+    # or from the bulk forward math.
+    fp32_sigma_grad: bool = False
     # generation-2 fused path for the PE-MLP: transposed kernel with
     # in-kernel compositing (applies when fused_field is set and the pass is
     # plain eval — no noise/occupancy/early-term masks)
@@ -156,14 +162,24 @@ def _inference(
             priority_flat)
 
     if rs.compute_normal:
-        if rs.fused_density and getattr(field, "supports_fused_train", False):
+        f_grad = field
+        force_fp32_grad = (
+            rs.fp32_sigma_grad
+            and getattr(field, "compute_dtype", "float32") == "bfloat16")
+        if force_fp32_grad:
+            # probe path: XLA only — the fused kernel is bf16 on hardware
+            import dataclasses
+
+            f_grad = dataclasses.replace(field, compute_dtype="float32")
+        if (rs.fused_density and not force_fp32_grad
+                and getattr(f_grad, "supports_fused_train", False)):
             from ..ops.pallas.fused_cp_train import density_with_grad_fused
 
             sigma_flat, geo_flat, grad_flat = density_with_grad_fused(
-                field, params, xyz_flat)
+                f_grad, params, xyz_flat)
         else:
             sigma_flat, geo_flat, grad_flat = _density_with_grad(
-                field, params, xyz_flat)
+                f_grad, params, xyz_flat)
         normals = l2_normalize(-grad_flat).reshape(N, S, 3)
     else:
         if rs.fused_density and getattr(field, "supports_fused_train", False):

@@ -284,3 +284,46 @@ class TestTracer:
         # detached: rgb-head grads only flow via... nothing (all rays mirror)
         assert rgb_det == 0.0
         assert rgb_free > 0.0
+
+
+class TestFp32SigmaGradProbe:
+    """--fp32_sigma_grad: with a bf16 field, the σ-gradient density pass
+    runs in fp32 (renderer upgrades the field for that pass only)."""
+
+    def test_normals_match_fp32_field(self, rng):
+        import dataclasses
+
+        from mirror_nerf_tpu.models.tpugrid import TPUGridField
+
+        f32 = TPUGridField(bound=2.0, predict_normal=True,
+                           predict_mirror_mask=True,
+                           grid_levels=((8, 4), (16, 4)))
+        f16 = dataclasses.replace(f32, compute_dtype="bfloat16")
+        params = f32.init(jax.random.PRNGKey(0))
+        # fresh init has a zero σ-head (raw σ = 0 → relu → empty field);
+        # randomize every leaf so the render is non-trivial
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        leaves = [l + 0.3 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        rays = _make_rays(4)
+        rs16 = RenderSettings(N_samples=8, N_importance=8, perturb=0.0,
+                              noise_std=0.0, compute_normal=True,
+                              fp32_sigma_grad=True)
+        rs32 = dataclasses.replace(rs16, fp32_sigma_grad=False)
+        out_probe = render_rays(f16, {"coarse": params, "fine": params},
+                                rays, rng, rs16)
+        out_fp32 = render_rays(f32, {"coarse": params, "fine": params},
+                               rays, rng, rs32)
+        # the render must be non-trivial or the equalities below are vacuous
+        assert np.abs(np.asarray(out_fp32["weights_fine"])).max() > 0
+        # σ (and hence weights/normals) of the probe run match the fp32
+        # field bitwise: the density pass really ran in fp32
+        np.testing.assert_array_equal(np.asarray(out_probe["weights_fine"]),
+                                      np.asarray(out_fp32["weights_fine"]))
+        np.testing.assert_array_equal(np.asarray(out_probe["normal_fine"]),
+                                      np.asarray(out_fp32["normal_fine"]))
+        # while the color path stayed bf16 (differs from the fp32 run)
+        assert not np.array_equal(np.asarray(out_probe["rgb_fine"]),
+                                  np.asarray(out_fp32["rgb_fine"]))

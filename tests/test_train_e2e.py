@@ -250,3 +250,53 @@ class TestNonStrictLoading:
         path = self._save(tmp_path, {"a": np.ones((2,))})
         with pytest.raises(KeyError):
             load_pytree_nonstrict(path, {"b": np.zeros((2,))})
+
+
+@pytest.mark.slow
+def test_two_epoch_trajectory_matches_across_mesh_sizes(scene, tmp_path):
+    """VERDICT r2 #8: a 2-epoch run (geometry -> reflection stage flip,
+    same batches, psum grads) must produce the same loss trajectory and
+    final params on 1 vs 8 virtual devices."""
+    cfg = Config(
+        root_dir=scene, img_wh=(24, 24), near=0.05, far=12.0, bound=6.0,
+        N_samples=6, N_importance=6, batch_size=128, num_epochs=2,
+        predict_normal=True, predict_mirror_mask=True,
+        trace_secondary_rays=True, train_geometry_stage=True,
+        train_geometry_stage_end_epoch=1, use_plane_consistent_loss=True,
+        only_trace_rays_in_mirrors=True, smooth_mirror_start_epoch=0,
+        train_mirror_mask_start_epoch=0, train_normal_start_epoch=0,
+        lr=5e-4, decay_step=(2, 4, 8), decay_gamma=0.5, chunk=576,
+        steps_per_dispatch=1,
+    )
+    out = {}
+    for n_dev in (1, 8):
+        ds = BlenderDataset(scene, "train", cfg.img_wh, cfg)
+        trainer = Trainer(cfg, ds, str(tmp_path / f"traj{n_dev}"),
+                          mesh=get_mesh(n_dev))
+        rng = np.random.default_rng(123)
+        a0 = trainer.run_epoch(0, rng)  # geometry stage
+        a1 = trainer.run_epoch(1, rng)  # reflection stage
+        out[n_dev] = (a0["loss"], a1["loss"],
+                      jax.device_get(trainer.params))
+    # Tolerances: the single-step test above pins psum-grad math at
+    # rtol 1e-4; across ~36 Adam steps XLA:CPU fp noise compounds (the
+    # optimizer's per-step sign normalization amplifies ULP differences —
+    # see tests/test_multi_step.py), so the 2-epoch check asserts the
+    # trajectories stay within ~1%, not bitwise equality.
+    np.testing.assert_allclose(out[1][0], out[8][0], rtol=2e-4)
+    np.testing.assert_allclose(out[1][1], out[8][1], rtol=2e-2)
+    l1 = jax.tree_util.tree_leaves(out[1][2])
+    l8 = jax.tree_util.tree_leaves(out[8][2])
+    # per-param drift bound: Adam moves each param by ~±lr per step, so a
+    # handful of noise-flipped steps shifts near-zero params by a few
+    # multiples of lr. A tiny fraction of params (<0.1%, measured ~0.04%
+    # on XLA:CPU) sits exactly at a ReLU/sort decision boundary and takes
+    # a genuinely different path — bound the drifted FRACTION and the
+    # worst-case magnitude instead of requiring every element inside atol.
+    a_all = np.concatenate([np.asarray(a).ravel() for a in l1])
+    b_all = np.concatenate([np.asarray(b).ravel() for b in l8])
+    diff = np.abs(a_all - b_all)
+    tol = 25 * cfg.lr + 5e-2 * np.abs(b_all)
+    frac = float(np.mean(diff > tol))
+    assert frac < 1e-3, f"{frac:.2%} of params drifted past the Adam bound"
+    assert float(diff.max()) < 200 * cfg.lr, float(diff.max())
