@@ -109,6 +109,9 @@ def pack_cp_params(params: dict, field, lanes: int = LANES,
                    dtype=jnp.bfloat16, basis: str = "hat") -> dict:
     """Transpose/pad a TPUGridField param pytree for the fused kernel.
 
+    `lanes` is kept for call-site stability but no longer shapes anything:
+    biases are packed as (rows, 1) columns and broadcast in-kernel.
+
     All matrices are stored (out, in) so the kernel computes W @ x with
     x channels on sublanes. Head outputs are pre-placed into the packed
     8-row output space (0 σ, 1:4 rgb, 4:7 normal, 7 mirror) so the kernel
@@ -151,15 +154,15 @@ def pack_cp_params(params: dict, field, lanes: int = LANES,
     m = params["is_mirror"]
     m1 = jnp.pad(jnp.asarray(m[0]["w"], jnp.float32).T,
                  ((0, 0), (16, 1)))  # (32, 32)
-    p["m1b"] = jnp.broadcast_to(
-        jnp.asarray(m[0]["b"], jnp.float32)[:, None], (m[0]["b"].shape[0],
-                                                       lanes))
+    # biases as (rows, 1) columns, broadcast in-kernel (fused_mlp_t
+    # convention) — lane-wide constant blocks cost VMEM per block
+    p["m1b"] = jnp.asarray(m[0]["b"], jnp.float32)[:, None]
     m2 = jnp.asarray(m[1]["w"], jnp.float32).T  # (1, 32)
     m2 = jnp.pad(m2, ((7, 0), (0, 0)))  # (8, 32): mirror in row 7
     p["h1"] = jnp.concatenate([c1, n1, m1], axis=0).astype(dtype)  # (160, 32)
     p["hf"] = jnp.concatenate([c3, n2, m2], axis=1).astype(dtype)  # (8, 160)
-    ob = jnp.zeros((8, lanes), jnp.float32)
-    p["obias"] = ob.at[7].set(jnp.asarray(m[1]["b"], jnp.float32)[0])
+    ob = jnp.zeros((8, 1), jnp.float32)
+    p["obias"] = ob.at[7, 0].set(jnp.asarray(m[1]["b"], jnp.float32)[0])
     return p
 
 
