@@ -41,10 +41,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# The backward's live set (feats/tangent streams + per-level (G, L) bases +
-# weight-grad accumulators, all rematerialized in VMEM) OOMs the 16 MB
-# scoped-vmem limit at 1024 lanes (23 MB measured); 512 fits.
-TRAIN_LANES = 512
+# Block width. The original layout (materialized (ΣR, L) feature/tangent
+# streams) OOMed the 16 MB scoped-vmem limit at 1024 lanes (23 MB measured);
+# the streams are now accumulated per level (see _forward_streams), so wider
+# blocks may fit — override with MNERF_TRAIN_LANES to sweep on hardware.
+import os as _os
+
+TRAIN_LANES = int(_os.environ.get("MNERF_TRAIN_LANES", "512"))
 
 
 @dataclass(frozen=True)
@@ -131,49 +134,51 @@ def _forward_streams(spec: CPTrainSpec, w, x3):
     x3: (3, L) raw world coords. Returns a dict of live VMEM tensors.
     Tangents are w.r.t. the RAW coords (the 1/(2·bound) chain and the
     clip-gradient mask are folded into the per-axis scale rows).
+
+    VMEM: the (ΣR, L) feature/tangent streams are never materialized —
+    e = fold @ feats and et_a = fold @ tf_a are accumulated per level
+    (fold column slices), so the live set is per-level transients plus the
+    (F, L)/(H, L) net streams. The backward rebuilds the per-level rows it
+    needs inside its own level loop (full remat), so nothing is lost.
     """
     bf = spec.jdtype
     lanes = x3.shape[-1]
     x01, inb = _scale_rows(spec, x3)
-    per_level, per_level_t = [], [[], [], []]
-    if not spec.tangents:
-        # density-only: skip the slope bases and tangent products entirely
-        for li in range(len(spec.levels)):
-            gres, _ = spec.levels[li]
+    fold = w["fold"][...].astype(bf)  # (F, ΣR)
+    e = jnp.zeros((fold.shape[0], lanes), jnp.float32)
+    et = ([jnp.zeros_like(e) for _ in range(3)] if spec.tangents else None)
+    off = 0
+    for li, (gres, r) in enumerate(spec.levels):
+        fold_l = fold[:, off:off + r]
+        if not spec.tangents:
+            # density-only: skip the slope bases and tangent products
             prod = None
             for a in range(3):
                 b_, _ = _hat_and_slope(x01[a:a + 1], gres, bf)
                 fa = _mm(w[f"a{a}l{li}"][...].astype(bf), b_)
                 prod = fa if prod is None else prod * fa
-            per_level.append(prod)
-    else:
-        for li in range(len(spec.levels)):
+            e = e + _mm(fold_l, prod.astype(bf))
+        else:
             (f0, f1, f2), (g0, g1, g2) = _level_fg(spec, w, x01, inb, li)
-            per_level.append(f0 * f1 * f2)
-            per_level_t[0].append(g0 * f1 * f2)
-            per_level_t[1].append(f0 * g1 * f2)
-            per_level_t[2].append(f0 * f1 * g2)
-    feats = jnp.concatenate(per_level, axis=0)  # (ΣR, L)
+            e = e + _mm(fold_l, (f0 * f1 * f2).astype(bf))
+            et[0] = et[0] + _mm(fold_l, (g0 * f1 * f2).astype(bf))
+            et[1] = et[1] + _mm(fold_l, (f0 * g1 * f2).astype(bf))
+            et[2] = et[2] + _mm(fold_l, (f0 * f1 * g2).astype(bf))
+        off += r
 
-    fold = w["fold"][...].astype(bf)  # (F, ΣR)
     s1 = w["s1"][...].astype(bf)      # (H, F)
     s2 = w["s2"][...].astype(bf)      # (16, H)
-    e = _mm(fold, feats.astype(bf))           # (F, L)
     z1 = _mm(s1, e.astype(bf))                # (H, L)
     dmask = (z1 > 0).astype(jnp.float32)
     h = jnp.maximum(z1, 0.0)
     sg = _mm(s2, h.astype(bf))                # (16, L)
     if not spec.tangents:
-        return dict(feats=feats, tf=None, e=e, et=None, dmask=dmask,
-                    h=h, t=None, sg=sg,
+        return dict(e=e, et=None, dmask=dmask, h=h, t=None, sg=sg,
                     grad=jnp.zeros((3, lanes), jnp.float32))
-    tf = [jnp.concatenate(per_level_t[a], axis=0) for a in range(3)]
-    et = [_mm(fold, tf[a].astype(bf)) for a in range(3)]
     t = [dmask * _mm(s1, et[a].astype(bf)) for a in range(3)]
     grad = jnp.concatenate(
         [_mm(s2[0:1, :], t[a].astype(bf)) for a in range(3)], axis=0)
-    return dict(feats=feats, tf=tf, e=e, et=et, dmask=dmask,
-                h=h, t=t, sg=sg, grad=grad)
+    return dict(e=e, et=et, dmask=dmask, h=h, t=t, sg=sg, grad=grad)
 
 
 def _fwd_kernel(spec: CPTrainSpec, names, x_ref, *refs):
@@ -227,7 +232,6 @@ def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
     featsbar = jax.lax.dot_general(fold, ebar.astype(bf),
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-    d_fold = _mm_t(ebar.astype(bf), s["feats"].astype(bf))
     tfbar = None
     if spec.tangents:
         # --- ∇σ-output reverse (tangent streams, per axis) ---
@@ -250,11 +254,10 @@ def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
                                      (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
                  for a in range(3)]
-        for a in range(3):
-            d_fold = d_fold + _mm_t(etbar[a].astype(bf),
-                                    s["tf"][a].astype(bf))
 
-    # --- per-level product rule + table grads + d_x ---
+    # --- per-level product rule + table grads + d_x + d_fold ---
+    # (f̄old's feats/tf operands are rebuilt here level by level, so the
+    # (ΣR, L) streams never live in VMEM — see _forward_streams)
     x01, inb = _scale_rows(spec, x3)
     off = 0
     xbar = [jnp.zeros((1, lanes), jnp.float32) for _ in range(3)]
@@ -271,6 +274,14 @@ def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
                 fs.append(_mm(w[f"a{a}l{li}"][...].astype(bf_), b_))
             f0, f1, f2 = fs
             gs = None
+        # d_fold columns for this level: ebar ⊗ feats_l (+ tangent terms)
+        d_fold_l = _mm_t(ebar.astype(bf), (f0 * f1 * f2).astype(bf))
+        if spec.tangents:
+            d_fold_l = (d_fold_l
+                        + _mm_t(etbar[0].astype(bf), (g0 * f1 * f2).astype(bf))
+                        + _mm_t(etbar[1].astype(bf), (f0 * g1 * f2).astype(bf))
+                        + _mm_t(etbar[2].astype(bf), (f0 * f1 * g2).astype(bf)))
+        acc_refs["fold"][:, off:off + r] += d_fold_l
         # f̄_a: from the primal product AND (tangent mode) from the two
         # tangent streams where f_a appears as a passive factor — the exact
         # second-order mixed terms of the multilinear product
@@ -299,7 +310,6 @@ def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
         off += r
     dx_ref[0] = jnp.concatenate(xbar, axis=0)
 
-    acc_refs["fold"][...] += d_fold
     acc_refs["s1"][...] += d_s1
     acc_refs["s2"][...] += d_s2
 
