@@ -65,11 +65,19 @@ case "$MODE" in
         --exp_name "app_substitution_${EXP}" ;;
   *)  # decay schedule is model-dependent (measured, STATUS.md): the
       # reference schedule {2,4,8} fixes the flagship's late-training
-      # collapse but destabilizes the CP-grid speed model, which wants the
-      # slower {4,8,12}
-      if [ "$MODEL_TYPE" = nerf_tpu ]; then DECAY="4 8 12"; else DECAY="2 4 8"; fi
+      # collapse but destabilizes the CP-grid speed model, which wants a
+      # slower schedule. nerf_tpu also takes the round-3 sweep winner:
+      # grid tables at 20x lr with adam_eps 1e-15 (+5.5 dB held-out;
+      # 40x diverges — sweeps/results.jsonl).
+      EPOCHS=30
+      if [ "$MODEL_TYPE" = nerf_tpu ]; then
+        DECAY="8 14 18"; EPOCHS=20  # measured as a pair (ep20 sweep arm)
+        MODEL_FLAGS+=(--grid_lr_mult 20 --adam_eps 1e-15)
+      else
+        DECAY="2 4 8"
+      fi
       python train.py "${DATA_FLAGS[@]}" "${MODEL_FLAGS[@]}" \
-        --N_importance 64 --noise_std 1 --num_epochs 30 --batch_size 1024 \
+        --N_importance 64 --noise_std 1 --num_epochs "$EPOCHS" --batch_size 1024 \
         --optimizer adam --lr 5e-4 --lr_scheduler steplr \
         --decay_step ${DECAY:-2 4 8} --decay_gamma 0.5 --chunk 8192 \
         --train_geometry_stage --use_plane_consistent_loss \
