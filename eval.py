@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import numpy as np
 
@@ -165,13 +166,17 @@ def main(argv=None):
     ssims, lpipss = [], []
 
     typ_final = "coarse"
+    view_secs = []  # wall seconds per view (first view carries compiles)
     for i in range(n_views):
         if args.only_eval_idx >= 0 and i != args.only_eval_idx:
             continue
         sample = dataset.get_image(i)
         progress = i / max(n_views, 1)
 
+        t0 = time.perf_counter()
         results = run_view(ctx, sample, progress, jax.random.PRNGKey(i))
+        jax.block_until_ready(results)
+        view_secs.append(time.perf_counter() - t0)
         if "compact_dropped" in results:
             n_drop = float(np.sum(results["compact_dropped"]))
             if n_drop > 0:
@@ -299,6 +304,13 @@ def main(argv=None):
             table["lpips"] = [float(v) for v in lpipss]
         with open(os.path.join(dir_name, "psnr.json"), "w") as f:
             json.dump(table, f)
+    if len(view_secs) > 1:
+        # steady-state render rate (first view pays the compiles)
+        steady = view_secs[1:]
+        rays_per_view = h * w
+        print(f"[time] steady-state {np.mean(steady):.2f} s/view "
+              f"({rays_per_view / np.mean(steady) / 1e3:.1f}k rays/s), "
+              f"first view {view_secs[0]:.1f} s")
     return dir_name
 
 
