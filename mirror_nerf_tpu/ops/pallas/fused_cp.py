@@ -44,6 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 # machinery. See BASELINE.md rays-mode stage budget.
 LANES = 4096
 
+# Grid iterations are independent blocks: declaring the (single) grid
+# dimension "parallel" lets Mosaic overlap each block's HBM<->VMEM DMAs
+# with the previous block's compute (double-buffering) instead of
+# serializing them — this is the per-grid-step fixed cost the io-floor
+# ablation measures (BASELINE.md, ~4.5 us/step at lanes=4096).
+_PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
 
 @dataclass(frozen=True)
 class CPFusedSpec:
@@ -435,7 +443,8 @@ def fused_cp_forward_composite_rays(packed: dict, od, z_row,
     if spec.sigma_only:
         wts = pl.pallas_call(kern, grid=(nb,), in_specs=in_specs,
                              out_specs=wts_spec, out_shape=wts_shape,
-                             interpret=interpret)(*ins)
+                             interpret=interpret,
+        compiler_params=_PARALLEL)(*ins)
         return None, wts
     per_ray, wts = pl.pallas_call(
         kern, grid=(nb,), in_specs=in_specs,
@@ -443,7 +452,8 @@ def fused_cp_forward_composite_rays(packed: dict, od, z_row,
                                 memory_space=pltpu.VMEM), wts_spec],
         out_shape=[jax.ShapeDtypeStruct((nb, 16, r), jnp.float32),
                    wts_shape],
-        interpret=interpret)(*ins)
+        interpret=interpret,
+        compiler_params=_PARALLEL)(*ins)
     return per_ray, wts
 
 
@@ -469,6 +479,7 @@ def fused_cp_forward(packed: dict, x3: jnp.ndarray, d3: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 8, lanes), jnp.float32),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(x3, d3, *[packed[nm] for nm in names])
 
 
@@ -506,7 +517,8 @@ def fused_cp_forward_composite(packed: dict, x3, d3, z_row, dl_row,
     if spec.sigma_only:
         wts = pl.pallas_call(kern, grid=(nb,), in_specs=in_specs,
                              out_specs=wts_spec, out_shape=wts_shape,
-                             interpret=interpret)(*ins)
+                             interpret=interpret,
+        compiler_params=_PARALLEL)(*ins)
         return None, wts
     per_ray, wts = pl.pallas_call(
         kern, grid=(nb,), in_specs=in_specs,
@@ -514,7 +526,8 @@ def fused_cp_forward_composite(packed: dict, x3, d3, z_row, dl_row,
                                 memory_space=pltpu.VMEM), wts_spec],
         out_shape=[jax.ShapeDtypeStruct((nb, 16, r), jnp.float32),
                    wts_shape],
-        interpret=interpret)(*ins)
+        interpret=interpret,
+        compiler_params=_PARALLEL)(*ins)
     return per_ray, wts
 
 

@@ -45,6 +45,14 @@ DE_DIM = 128  # padded dir-embedding lanes (27 real for N_emb_dir=4)
 OUT_DIM = 128  # padded output lanes (8 real: σ, rgb, normal, mirror)
 TILE = 1024  # default points per grid step
 
+# Grid iterations are independent blocks: declaring the (single) grid
+# dimension "parallel" lets Mosaic overlap each block's HBM<->VMEM DMAs
+# with the previous block's compute (double-buffering) instead of
+# serializing them — this is the per-grid-step fixed cost the io-floor
+# ablation measures (BASELINE.md, ~4.5 us/step at lanes=4096).
+_PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
 
 @dataclass(frozen=True)
 class FusedSpec:
@@ -293,6 +301,7 @@ def fused_forward(packed: dict, xe: jnp.ndarray, de: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, OUT_DIM), jnp.bfloat16),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(xe, de, *[packed[n] for n in names])
 
 
@@ -345,6 +354,7 @@ def fused_forward_rays(packed: dict, o: jnp.ndarray, d: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n * s, OUT_DIM), jnp.bfloat16),
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(o, d, z, de, *const, *[packed[nm] for nm in names])
 
 

@@ -44,6 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 # 303.0k rays/s); 4096 exceeds VMEM (the 8x256 trunk activations dominate).
 LANES = 2048
 
+# Grid iterations are independent blocks: declaring the (single) grid
+# dimension "parallel" lets Mosaic overlap each block's HBM<->VMEM DMAs
+# with the previous block's compute (double-buffering) instead of
+# serializing them — this is the per-grid-step fixed cost the io-floor
+# ablation measures (BASELINE.md, ~4.5 us/step at lanes=4096).
+_PARALLEL = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
 
 @dataclass(frozen=True)
 class TSpec:
@@ -375,6 +383,7 @@ def fused_t_forward(packed: dict, x3, d3, z_row, dl_row, spec: TSpec,
             out_specs=wts_spec,
             out_shape=wts_shape,
             interpret=interpret,
+            compiler_params=_PARALLEL,
         )(x3, d3, z_row, dl_row, *[packed[nm] for nm in names], *consts)
     per_ray, wts = pl.pallas_call(
         kern,
@@ -385,6 +394,7 @@ def fused_t_forward(packed: dict, x3, d3, z_row, dl_row, spec: TSpec,
         out_shape=[jax.ShapeDtypeStruct((nb, 16, r), jnp.float32),
                    wts_shape],
         interpret=interpret,
+        compiler_params=_PARALLEL,
     )(x3, d3, z_row, dl_row, *[packed[nm] for nm in names], *consts)
     return per_ray, wts
 
