@@ -61,6 +61,7 @@ def main(argv=None):
                         "with --geometry; geometry epochs >= 2 add the "
                         "mask/plane losses)")
     p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--fp32_sigma_grad", action="store_true")
     p.add_argument("--fused_train", type=str, default="auto",
                    choices=["auto", "on", "off"])
     p.add_argument("--trace_out", type=str, default="",
@@ -88,6 +89,7 @@ def main(argv=None):
         smooth_mirror_start_epoch=0, train_mirror_mask_start_epoch=0,
         train_normal_start_epoch=0, use_plane_consistent_loss=True,
         lr=5e-4, compute_dtype=args.compute_dtype,
+        fp32_sigma_grad=args.fp32_sigma_grad,
         fused_train=args.fused_train,
     )
     rng = np.random.default_rng(0)
