@@ -56,38 +56,65 @@ LANES = 512
 CORNERS = 8
 
 
-def _scalar_loop_kernel(idx_ref, table_ref, out_ref):
-    """idx (SMEM, (1, CORNERS*LANES)); table (R, C) VMEM; out
-    (CORNERS*LANES, C) VMEM — one dynamic-slice row load per gather."""
-    n = idx_ref.shape[-1]
+def _scalar_loop_kernel(idx_ref, flat_ref, out_ref):
+    """idx (SMEM, (1, 1, CORNERS*LANES)); flat (R*C/128, 128) VMEM — the
+    (R, C=2) table packed FLAT into natural 128-lane VMEM rows (a (R, 2)
+    VMEM tensor is lane-padded 64x: 2 MB becomes 128 MB); out
+    (CORNERS*LANES, C) VMEM.
 
-    def body(k, _):
-        i = idx_ref[0, k]
-        out_ref[0, pl.ds(k, 1), :] = table_ref[pl.ds(i, 1), :]
+    Two Mosaic constraints shape this kernel — they ARE the measurement:
+    * no scalar-gather path: an arbitrary dynamic row load fails with
+      `cannot statically prove that index in dimension 0 is a multiple
+      of 8` — dynamic VMEM slices must be sublane-aligned, so each gather
+      loads the aligned (8, 128) block containing its 2 values;
+    * the row/lane of the value are then selected with iota masks and a
+      full-block reduction — ~2k VPU element-ops per 2-value gather.
+    """
+    n = idx_ref.shape[-1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    def body(k8, _):
+        rows = []
+        for j in range(8):
+            i = idx_ref[0, 0, k8 * 8 + j]
+            f = i * 2                       # flat offset of channel 0
+            r = f // 128                    # VMEM row
+            l = f % 128                     # lane of channel 0 (even)
+            blk = flat_ref[pl.ds((r // 8) * 8, 8), :].astype(jnp.float32)
+            m = (sub == (r % 8))
+            c0 = jnp.sum(jnp.where(m & (lane == l), blk, 0.0))
+            c1 = jnp.sum(jnp.where(m & (lane == l + 1), blk, 0.0))
+            rows.append(jnp.stack([c0, c1])[None, :])
+        out_ref[0, pl.ds(k8 * 8, 8), :] = jnp.concatenate(
+            rows, axis=0).astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, n // 8, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def scalar_loop_gather(table, idx, interpret=False):
-    """table (R, C); idx (NB, CORNERS*LANES) -> (NB, CORNERS*LANES, C)."""
+    """table (R, C=2); idx (NB, CORNERS*LANES) -> (NB, CORNERS*LANES, C)."""
     nb, n = idx.shape
-    c = table.shape[-1]
+    r, c = table.shape
+    assert c == 2 and (r * c) % 128 == 0
+    flat = table.reshape(r * c // 128, 128)
+    idx = idx.reshape(nb, 1, n)
     return pl.pallas_call(
         _scalar_loop_kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(table.shape, lambda i: (0, 0),
+            pl.BlockSpec(flat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, n, c), table.dtype),
         interpret=interpret,
-    )(idx, table)
+    )(idx, flat)
 
 
 # ---------------------------------------------------------------- case C
@@ -100,7 +127,9 @@ def _hat_rows(x01_col, scale, pside, dtype):
     grid: pos = x*scale + 0.5 (align_corners False; scale is the level's
     FLOAT 2^(lS)*H - 1, not an integer), hat over integer j."""
     pos = x01_col * scale + 0.5
-    j = jax.lax.broadcasted_iota(jnp.float32, (x01_col.shape[0], pside), 1)
+    # tpu.iota is integer-only on hardware — build int32 and convert
+    j = jax.lax.broadcasted_iota(
+        jnp.int32, (x01_col.shape[0], pside), 1).astype(jnp.float32)
     u = pos - j
     return jnp.maximum(0.0, 1.0 - jnp.abs(u)).astype(dtype)
 
@@ -197,15 +226,25 @@ def check_parity():
 # ---------------------------------------------------------------- timing
 
 
-def _timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+REPS = 32
+
+
+def _timeit_loop(make_body, init, reps=REPS):
+    """In-dispatch timing (the exp_cp_ablate lesson: on this attachment only
+    a value FETCH synchronizes — block_until_ready returns at enqueue, so
+    per-dispatch harnesses time NOTHING). make_body(k, acc) -> acc must make
+    each rep's work depend on k and fold a value into acc, so nothing is
+    CSE'd or dead; one scalar fetch at the end synchronizes the chain."""
+
+    @jax.jit
+    def run():
+        return jax.lax.fori_loop(0, reps, make_body, init)
+
+    float(jnp.sum(run()))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
+        float(jnp.sum(run()))
         best = min(best, (time.perf_counter() - t0) / reps)
     return best
 
@@ -218,22 +257,35 @@ def bench():
 
     table16 = jnp.asarray(rng.randn(r, 2), jnp.bfloat16)
     table32 = table16.astype(jnp.float32)
-    idx2 = jnp.asarray(rng.randint(0, r, (nb, CORNERS * LANES)), jnp.int32)
+    idx2 = jnp.asarray(rng.randint(0, r - 1, (nb, CORNERS * LANES)),
+                       jnp.int32)
 
-    t = _timeit(jax.jit(xla_take_all), table32, idx2.reshape(-1, CORNERS))
+    def body_a(k, acc):
+        out = xla_take_all(table32, (idx2 + (k & 1)).reshape(-1, CORNERS))
+        return acc + out.reshape(-1)[0]
+
+    t = _timeit_loop(body_a, jnp.float32(0))
     print(f"A xla_take      : {n_rows / t / 1e6:8.1f} M rows/s "
           f"({t * 1e3:.3f} ms / {n_rows} rows)")
 
-    t = _timeit(functools.partial(scalar_loop_gather, interpret=False),
-                table16, idx2)
+    def body_b(k, acc):
+        out = scalar_loop_gather(table16, idx2 + (k & 1), interpret=False)
+        return acc + out.reshape(-1)[0].astype(jnp.float32)
+
+    t = _timeit_loop(body_b, jnp.float32(0))
     print(f"B scalar_loop   : {n_rows / t / 1e6:8.1f} M rows/s "
           f"({t * 1e3:.3f} ms)")
 
     t2 = jnp.asarray(rng.randn(PSIDE, PSIDE * 2 * PSIDE), jnp.bfloat16)
     x01 = jnp.asarray(rng.rand(nb * CORNERS, 3, LANES), jnp.float32)
     n_samp = nb * CORNERS * LANES  # samples; each = 8 fused corner-rows
-    t = _timeit(functools.partial(dense_matmul_lookup, scale=59.43,
-                                  interpret=False), t2, x01)
+
+    def body_c(k, acc):
+        out = dense_matmul_lookup(t2, x01 + k.astype(jnp.float32) * 1e-6,
+                                  scale=59.43, interpret=False)
+        return acc + out.reshape(-1)[0]
+
+    t = _timeit_loop(body_c, jnp.float32(0))
     print(f"C dense_matmul  : {n_samp / t / 1e6:8.1f} M samples/s = "
           f"{n_samp * 8 / t / 1e6:8.1f} M rows-equil/s ({t * 1e3:.3f} ms)")
 
