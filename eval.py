@@ -29,20 +29,6 @@ def get_opt(argv=None):
     parser.add_argument("--not_save_depth", default=False, action="store_true")
     parser.add_argument("--depth_format", type=str, nargs="+", default=["png"])
     parser.add_argument("--render_coarse_rgb", default=False, action="store_true")
-    # occupancy-grid empty-space skipping (TPU acceleration, opt-in)
-    parser.add_argument("--use_occupancy_grid", default=False,
-                        action="store_true")
-    parser.add_argument("--occ_resolution", type=int, default=128)
-    # -1 = auto: the sigma at which one cell's alpha reaches 1% —
-    # 0.01 / cell_size
-    parser.add_argument("--occ_sigma_threshold", type=float, default=-1.0)
-    # -1 = auto: estimated from the test rays' actual sample occupancy
-    parser.add_argument("--occ_frac_coarse", type=float, default=-1.0)
-    parser.add_argument("--occ_frac_fine", type=float, default=-1.0)
-    # transmittance-based early termination of the fine pass (approximate:
-    # bounded by the coarse field; 0 = off)
-    parser.add_argument("--early_term_eps", type=float, default=0.0)
-    parser.add_argument("--early_term_frac", type=float, default=0.5)
     # fully-fused Pallas field kernels on the eval path (bf16 MXU; exact up
     # to bf16 rounding). Supported for model_type nerf and nerf_tpu.
     parser.add_argument("--fused_field", default=False, action="store_true")
@@ -105,48 +91,6 @@ def main(argv=None):
         params_like["fine"] = field.init(jax.random.PRNGKey(1))
     params = load_params_any(cfg.ckpt_path, params_like) if cfg.ckpt_path \
         else params_like
-
-    if args.use_occupancy_grid:
-        from mirror_nerf_tpu.render.occupancy import (OccupancySpec,
-                                                      build_occupancy_grid,
-                                                      occupancy_lookup)
-
-        thresh = args.occ_sigma_threshold
-        if thresh <= 0:
-            cell = 2.0 * cfg.bound / args.occ_resolution
-            thresh = 0.01 / cell
-        spec = OccupancySpec.for_bound(cfg.bound, args.occ_resolution, thresh)
-        print(f"[info] building occupancy grid {args.occ_resolution}^3 "
-              f"(sigma threshold {thresh:.3f}) ...")
-        grid = build_occupancy_grid(
-            field, params.get("fine", params["coarse"]), spec)
-        print(f"[info] occupied cell fraction: "
-              f"{float(np.asarray(grid).mean()):.3f}")
-        # estimate the fraction of actual ray samples that are occupied and
-        # derive safe capacities — overflow would DROP density (wrong images)
-        sample0 = dataset.get_image(0)
-        r0 = np.asarray(sample0["rays"], np.float32)
-        sub = r0[:: max(len(r0) // 2048, 1)][:2048]
-        z = np.linspace(0, 1, cfg.N_samples, dtype=np.float32)
-        zv = sub[:, 6:7] * (1 - z) + sub[:, 7:8] * z
-        pts = sub[:, None, 0:3] + sub[:, None, 3:6] * zv[..., None]
-        import jax.numpy as jnp
-
-        est = float(np.asarray(occupancy_lookup(
-            grid, spec, jnp.asarray(pts.reshape(-1, 3)))).mean())
-        print(f"[info] stratified-sample occupancy estimate: {est:.3f}")
-        fc = args.occ_frac_coarse if args.occ_frac_coarse > 0 else min(
-            1.0, est * 1.3 + 0.05)
-        ff = args.occ_frac_fine if args.occ_frac_fine > 0 else min(
-            1.0, est * 1.5 + 0.3)
-        if fc >= 0.95 and ff >= 0.95:
-            print("[warn] scene too dense for empty-space skipping "
-                  "(try a larger --occ_sigma_threshold); disabling.")
-            args.use_occupancy_grid = False
-        else:
-            print(f"[info] capacities: coarse {fc:.2f}, fine {ff:.2f}")
-            args.occ_frac_coarse, args.occ_frac_fine = fc, ff
-            params = {**params, "occ_grid": grid}
 
     ctx = AppContext.build(cfg, args, field, params)
 

@@ -451,24 +451,6 @@ class AppContext:
             reflect_objects=args.app_reflect_newly_placed_objects,
             near=cfg.near,
         )
-        if getattr(args, "early_term_eps", 0.0) > 0:
-            from dataclasses import replace as dc_replace
-
-            rs = dc_replace(rs, early_term_eps=args.early_term_eps,
-                            et_frac=args.early_term_frac)
-        if getattr(args, "use_occupancy_grid", False):
-            from dataclasses import replace as dc_replace
-
-            from ..render.occupancy import OccupancySpec
-
-            rs = dc_replace(
-                rs,
-                occupancy=OccupancySpec.for_bound(
-                    cfg.bound, args.occ_resolution,
-                    args.occ_sigma_threshold),
-                occ_frac_coarse=args.occ_frac_coarse,
-                occ_frac_fine=args.occ_frac_fine,
-            )
         ctx = cls(cfg=cfg, args=args, field=field, params=params, rs=rs,
                   app=app)
         if cfg.num_gpus > 1:

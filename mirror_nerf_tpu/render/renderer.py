@@ -49,20 +49,12 @@ class RenderSettings:
     detach_density_outside_mirror_for_mask_loss: bool = False
     detach_density_for_mask_loss: bool = False
     detach_density_for_normal_loss: bool = False
-    # occupancy-grid empty-space skipping (render/occupancy.py). Active only
-    # when a spec is set AND the params carry an "occ_grid" (eval path).
-    # Fractions are the compacted-buffer capacities relative to the sample
-    # count: stratified coarse samples are mostly empty space, importance
-    # fine samples concentrate at surfaces.
-    occupancy: object = None  # Optional[OccupancySpec]
-    occ_frac_coarse: float = 0.25
-    occ_frac_fine: float = 0.75
-    # transmittance-based early termination of the FINE pass (eval opt-in):
-    # fine samples whose coarse-pass transmittance bound is below eps skip
-    # field evaluation. Approximate (the coarse field bounds the fine one),
-    # off at 0. et_frac is the kept-sample capacity.
-    early_term_eps: float = 0.0
-    et_frac: float = 0.5
+    # NOTE (round 3): occupancy-grid empty-space skipping and fine-pass
+    # early termination were REMOVED after decisive measurements on a
+    # trained checkpoint (BASELINE.md round 3): both knobs route samples
+    # through gather/scatter compaction whose index-rate cost exceeds the
+    # skipped field work 5-7x on every TPU path (matmul fields don't get
+    # cheaper per-sample the way gather-bound CUDA fields do).
     # run the field through the fully-fused Pallas kernel
     # (ops/pallas/fused_mlp.py) — forward-only, so it engages only when the
     # σ-gradient normal is off (eval/bench path). bf16 numerics.
@@ -126,40 +118,27 @@ def _inference(
     sigma_only: bool,
     mirror_mask_per_ray,  # (N,) float GT mask (may carry -1 sentinel) or None
     gt_mask_valid,  # traced scalar bool or None
-    occ_grid=None,  # (R,R,R) bool occupancy grid, or None
-    keep_flat=None,  # (N*S,) bool extra keep mask (early termination)
-    keep_frac: float = 1.0,
-    priority_flat=None,  # (N*S,) float keep priority (overflow ordering)
     ray_o=None,  # (N, 3) ray origins (fused ray-mode fast path)
     ray_d=None,  # (N, 3) ray directions
 ):
     N, S = z_vals.shape
     xyz_flat = xyz.reshape(-1, 3)
 
-    use_occ = (rs.occupancy is not None and occ_grid is not None
-               and not rs.compute_normal)
     if (rs.fused_field and not rs.compute_normal
             and getattr(field, "supports_fused_cp", False)
-            and ray_o is not None and keep_flat is None and not use_occ):
+            and ray_o is not None):
         return _inference_fused_cp(
             field, params, typ, z_vals, dirs, rng, rs, results, sigma_only,
             ray_o, ray_d)
     if (rs.fused_field and not rs.compute_normal
             and getattr(field, "supports_fused", False)):
-        if (rs.fused_t and ray_o is not None and keep_flat is None
-                and not use_occ and rs.noise_std == 0):
+        if rs.fused_t and ray_o is not None and rs.noise_std == 0:
             return _inference_fused_t(
                 field, params, typ, z_vals, dirs, rs, results, sigma_only,
                 ray_o, ray_d)
         return _inference_fused(
             field, params, typ, xyz, z_vals, dirs, rng, rs, results,
-            sigma_only, occ_grid if use_occ else None, keep_flat, keep_frac,
-            priority_flat, ray_o, ray_d)
-    if use_occ or (keep_flat is not None and not rs.compute_normal):
-        return _inference_compact(
-            field, params, typ, xyz, z_vals, dirs, rng, rs, results,
-            sigma_only, occ_grid if use_occ else None, keep_flat, keep_frac,
-            priority_flat)
+            sigma_only, ray_o, ray_d)
 
     if rs.compute_normal:
         f_grad = field
@@ -282,91 +261,6 @@ def _inference(
     return results
 
 
-def _inference_compact(field, params, typ, xyz, z_vals, dirs, rng, rs,
-                       results, sigma_only, occ_grid, keep_flat=None,
-                       keep_frac: float = 1.0, priority_flat=None):
-    """Eval-path inference that evaluates the field only on kept samples
-    (fixed-capacity compaction, see render/occupancy.py). The keep set is the
-    AND of the occupancy-grid lookup (if a grid is given) and an optional
-    caller mask (early termination); skipped samples get zero density."""
-    from .occupancy import compact_apply, occupancy_lookup
-
-    N, S = z_vals.shape
-    m = N * S
-    xyz_flat = xyz.reshape(-1, 3)
-    frac = 1.0
-    occ = None
-    if occ_grid is not None:
-        occ = occupancy_lookup(occ_grid, rs.occupancy, xyz_flat)
-        # stratified (coarse-count) passes are mostly empty space; merged
-        # importance passes concentrate at surfaces
-        is_fine_pass = S > rs.N_samples
-        frac = rs.occ_frac_fine if is_fine_pass else rs.occ_frac_coarse
-    if keep_flat is not None:
-        occ = keep_flat if occ is None else (occ & keep_flat)
-        frac = min(frac, keep_frac)
-    cap = min(max((int(m * frac) + 127) // 128 * 128, 128), m)
-
-    if sigma_only:
-        def fn(xc):
-            sigma, _ = field.density(params, xc)
-            return (sigma,)
-
-        (sigmas,) = compact_apply(fn, occ, cap, (-1e10,), xyz_flat,
-                                  priority=priority_flat)
-        pred_normals = is_mirrors = rgbs = None
-    else:
-        dirs_flat = jnp.repeat(dirs, S, axis=0)
-
-        def fn(xc, dc):
-            sigma, geo = field.density(params, xc)
-            rgb = field.color(params, geo, dc)
-            outs = [sigma, rgb]
-            if field.predict_normal:
-                outs.append(l2_normalize(field.normal_head(params, geo)))
-            if field.predict_mirror_mask:
-                outs.append(field.mirror_head(params, geo))
-            return tuple(outs)
-
-        defaults = [-1e10, 0.0]
-        if field.predict_normal:
-            defaults.append(0.0)
-        if field.predict_mirror_mask:
-            defaults.append(0.0)
-        outs = compact_apply(fn, occ, cap, tuple(defaults), xyz_flat,
-                             dirs_flat, priority=priority_flat)
-        it = iter(outs)
-        sigmas = next(it)
-        rgbs = next(it).reshape(N, S, 3)
-        pred_normals = next(it).reshape(N, S, 3) if field.predict_normal \
-            else None
-        is_mirrors = next(it).reshape(N, S) if field.predict_mirror_mask \
-            else None
-
-    sigmas = sigmas.reshape(N, S)
-    noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
-             if rs.noise_std > 0 else jnp.zeros_like(sigmas))
-    weights = _composite_weights(sigmas, z_vals, noise)
-    weights_sum = jnp.sum(weights, axis=-1)
-    results[f"weights_{typ}"] = weights
-    results[f"opacity_{typ}"] = weights_sum
-    results[f"z_vals_{typ}"] = z_vals
-    if sigma_only:
-        return results
-
-    rgb_map = jnp.sum(weights[..., None] * rgbs, axis=1)
-    depth_map = jnp.sum(weights * z_vals, axis=-1)
-    if rs.white_back:
-        rgb_map = rgb_map + (1.0 - weights_sum[:, None])
-    results[f"rgb_{typ}"] = rgb_map
-    results[f"depth_{typ}"] = depth_map
-    if is_mirrors is not None:
-        results[f"mirror_mask_{typ}"] = jnp.sum(weights * is_mirrors, axis=-1)
-    if pred_normals is not None:
-        results[f"pred_normal_{typ}"] = pred_normals
-        results[f"surface_normal_{typ}"] = jnp.sum(
-            pred_normals * weights[..., None], axis=1)
-    return results
 
 
 def _inference_fused_t(field, params, typ, z_vals, dirs, rs, results,
@@ -458,9 +352,7 @@ def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
 
 
 def _inference_fused(field, params, typ, xyz, z_vals, dirs, rng, rs,
-                     results, sigma_only, occ_grid=None, keep_flat=None,
-                     keep_frac: float = 1.0, priority_flat=None,
-                     ray_o=None, ray_d=None):
+                     results, sigma_only, ray_o=None, ray_d=None):
     """Eval-path inference through the fully-fused Pallas field kernel.
 
     The kernel emits one FINAL packed bf16 row per sample (lane 0 raw σ,
@@ -470,65 +362,27 @@ def _inference_fused(field, params, typ, xyz, z_vals, dirs, rng, rs,
     narrow columns are ever sliced out of the wide per-sample array (each
     such slice re-reads whole 128-lane tiles from HBM).
 
-    Supports the same fixed-capacity sample compaction as
-    _inference_compact (occupancy grid and/or early-termination keep mask).
     Forward-only; gated by the caller on rs.compute_normal == False.
     """
     from ..ops.pallas.fused_mlp import fused_packed_eval
 
     N, S = z_vals.shape
-    m = N * S
     xyz_flat = xyz.reshape(-1, 3)
 
-    keep = None
-    frac = 1.0
-    if occ_grid is not None:
-        from .occupancy import occupancy_lookup
+    if ray_o is not None:
+        # ray mode: xyz and both encodings are built inside the kernel
+        # from per-ray o/d/viewdir + per-ray depths — no per-sample
+        # tensor crosses HBM on the input side. `xyz` is never consumed
+        # here, so XLA drops its construction entirely.
+        from ..ops.pallas.fused_mlp import fused_rays_eval
 
-        keep = occupancy_lookup(occ_grid, rs.occupancy, xyz_flat)
-        frac = rs.occ_frac_fine if S > rs.N_samples else rs.occ_frac_coarse
-    if keep_flat is not None:
-        keep = keep_flat if keep is None else (keep & keep_flat)
-        frac = min(frac, keep_frac)
-
-    if keep is None:
-        if ray_o is not None:
-            # ray mode: xyz and both encodings are built inside the kernel
-            # from per-ray o/d/viewdir + per-ray depths — no per-sample
-            # tensor crosses HBM on the input side. `xyz` is never consumed
-            # here, so XLA drops its construction entirely.
-            from ..ops.pallas.fused_mlp import fused_rays_eval
-
-            rows = fused_rays_eval(field, params, ray_o, ray_d, dirs,
-                                   z_vals, sigma_only=sigma_only)
-        elif sigma_only:
-            rows = fused_packed_eval(field, params, xyz_flat, sigma_only=True)
-        else:
-            dirs_flat = jnp.repeat(dirs, S, axis=0)
-            rows = fused_packed_eval(field, params, xyz_flat, dirs_flat)
+        rows = fused_rays_eval(field, params, ray_o, ray_d, dirs,
+                               z_vals, sigma_only=sigma_only)
+    elif sigma_only:
+        rows = fused_packed_eval(field, params, xyz_flat, sigma_only=True)
     else:
-        from .occupancy import compact_apply
-
-        cap = min(max((int(m * frac) + 127) // 128 * 128, 128), m)
-        if sigma_only:
-            def fn(xc):
-                return (fused_packed_eval(field, params, xc,
-                                          sigma_only=True),)
-
-            (rows,) = compact_apply(fn, keep, cap, (-1e10,), xyz_flat,
-                                    priority=priority_flat)
-        else:
-            dirs_flat = jnp.repeat(dirs, S, axis=0)
-
-            def fn(xc, dc):
-                return (fused_packed_eval(field, params, xc, dc),)
-
-            (rows,) = compact_apply(fn, keep, cap, (-1e10,), xyz_flat,
-                                    dirs_flat, priority=priority_flat)
-        # dropped rows are filled with -1e10: relu(σ + noise) stays 0 even
-        # with σ-noise enabled (a 0 fill turns noisy dropped samples into
-        # emissive fog, cf. _inference_compact), and weight 0 zeroes the
-        # bogus -1e10 color lanes in the composite
+        dirs_flat = jnp.repeat(dirs, S, axis=0)
+        rows = fused_packed_eval(field, params, xyz_flat, dirs_flat)
 
     sigmas = rows[:, 0].astype(jnp.float32).reshape(N, S)
     noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
@@ -573,7 +427,6 @@ def render_rays(
     gt_mask_valid = None
     if mirror_mask_gt is not None:
         gt_mask_valid = jnp.all(mirror_mask_gt >= 0)
-    occ_grid = params.get("occ_grid") if isinstance(params, dict) else None
 
     k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)
 
@@ -588,43 +441,16 @@ def render_rays(
     _inference(
         field, params["coarse"], "coarse", xyz_coarse, z_vals, dirs,
         k_noise_c, rs, results, coarse_sigma_only, mirror_mask_gt,
-        gt_mask_valid, occ_grid, ray_o=rays_o, ray_d=rays_d,
+        gt_mask_valid, ray_o=rays_o, ray_d=rays_d,
     )
 
     if rs.has_fine:
-        want_et = rs.early_term_eps > 0 and not rs.compute_normal
-        if want_et:
-            # early termination needs per-sample origin flags (argsort-based
-            # merge); the plain path keeps the cheaper jnp.sort lowering
-            z_fine, pdf_origin = merge_fine_z_vals(
-                k_pdf, z_vals, results["weights_coarse"], rs.N_importance,
-                rs.perturb, return_origin=True,
-            )
-        else:
-            z_fine = merge_fine_z_vals(
-                k_pdf, z_vals, results["weights_coarse"], rs.N_importance,
-                rs.perturb,
-            )
+        z_fine = merge_fine_z_vals(
+            k_pdf, z_vals, results["weights_coarse"], rs.N_importance,
+            rs.perturb,
+        )
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_fine[..., None]
 
-        keep_flat = None
-        if want_et:
-            # Early termination of the fine pass. Importance (PDF) samples
-            # are NEVER skipped — they sit where the surface is, and the
-            # fine field's surface can be deeper than the (blurrier) coarse
-            # field's. Only uniform-origin samples deeper than where the
-            # coarse transmittance collapses skip evaluation.
-            w_c = results["weights_coarse"]
-            cum = jnp.concatenate(
-                [jnp.zeros_like(w_c[:, :1]), jnp.cumsum(w_c, axis=-1)], -1)
-            zc = results["z_vals_coarse"]
-            idx = jnp.sum(
-                (zc[:, None, :] <= z_fine[:, :, None]).astype(jnp.int32), -1)
-            t_bound = 1.0 - jnp.take_along_axis(
-                cum, jnp.maximum(idx - 1, 0), axis=-1)
-            keep = pdf_origin | (t_bound >= rs.early_term_eps)
-            keep_flat = keep.reshape(-1)
-            keep_priority = jnp.where(pdf_origin, 2.0, t_bound).reshape(-1)
         if rs.fine_pass == "coarse":
             # only_one_field past warm-up: the *coarse* results are overwritten
             # by a second pass of the same field on the merged samples
@@ -632,16 +458,12 @@ def render_rays(
             _inference(
                 field, params["coarse"], "coarse", xyz_fine, z_fine, dirs,
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
-                occ_grid, keep_flat, rs.et_frac,
-                keep_priority if keep_flat is not None else None,
                 ray_o=rays_o, ray_d=rays_d,
             )
         else:
             _inference(
                 field, params["fine"], "fine", xyz_fine, z_fine, dirs,
                 k_noise_f, rs, results, False, mirror_mask_gt, gt_mask_valid,
-                occ_grid, keep_flat, rs.et_frac,
-                keep_priority if keep_flat is not None else None,
                 ray_o=rays_o, ray_d=rays_d,
             )
 

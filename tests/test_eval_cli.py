@@ -159,18 +159,6 @@ def test_dnerf_field_renders():
 
 
 @pytest.mark.slow
-def test_eval_acceleration_flags(scene, ckpt, tmp_path):
-    """--use_occupancy_grid (auto estimate/disable) and --early_term_eps
-    wire through the CLI and produce a valid render."""
-    dir_name, base = _run_eval(
-        scene, ckpt, tmp_path,
-        extra=("--use_occupancy_grid", "--early_term_eps", "1e-4",
-               "--only_eval_idx", "0"))
-    out = os.path.join(base, dir_name)
-    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
-
-
-@pytest.mark.slow
 def test_eval_spmd_matches_single_device(scene, ckpt, tmp_path):
     """--num_gpus 8 shards eval chunks over the virtual CPU mesh (the
     reference's DDP-eval analog) and reproduces the single-device render."""

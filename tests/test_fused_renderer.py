@@ -80,13 +80,3 @@ def test_trace_rays_fused_matches_unfused(setup):
                                np.asarray(ref["rgb_fine"])[agree], atol=3e-2)
 
 
-def test_fused_with_early_termination_keep_mask(setup):
-    field, params, rays = setup
-    rng = jax.random.PRNGKey(13)
-    ref = render_rays(field, params, rays, rng, _settings())
-    fused = render_rays(
-        field, params, rays, rng,
-        _settings(fused_field=True, early_term_eps=1e-4, et_frac=1.0))
-    # keep-capacity 1.0 with a tiny eps: nothing real is dropped
-    np.testing.assert_allclose(np.asarray(fused["rgb_fine"]),
-                               np.asarray(ref["rgb_fine"]), atol=3e-2)
