@@ -16,3 +16,19 @@ Design stance (TPU-first, not a torch translation):
 """
 
 __version__ = "0.1.0"
+
+# Raise libtpu's scoped-VMEM budget (default 16 MiB; v5e has 128 MiB
+# physical VMEM). The fused-train backward kernel stashes per-level
+# interpolated rows + hat/slope bases in VMEM scratch (~7.5 MB at 512
+# lanes) to avoid recomputing them — worth ~31% of backward FLOPs
+# (BASELINE.md). Must be set before libtpu initializes; importing this
+# package precedes any device op in every CLI/tool. Respects an explicit
+# user-provided value.
+import os as _os
+
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib"
+if _VMEM_FLAG not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _os.environ.get("LIBTPU_INIT_ARGS", "")
+        + f" {_VMEM_FLAG}=49152").strip()
+del _os

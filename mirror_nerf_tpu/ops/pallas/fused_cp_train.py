@@ -181,6 +181,66 @@ def _forward_streams(spec: CPTrainSpec, w, x3):
     return dict(e=e, et=et, dmask=dmask, h=h, t=t, sg=sg, grad=grad)
 
 
+def _stash_rows(spec: CPTrainSpec):
+    """Scratch row counts per level: (f/g rows, basis rows). g/bp halves are
+    allocated only when the backward's product-rule loop will read them."""
+    need_g = spec.tangents or spec.need_dx
+    k = 6 if need_g else 3
+    return [(k * r, k * g) for g, r in spec.levels]
+
+
+def _forward_streams_stash(spec: CPTrainSpec, w, x3, fg_refs, b_refs):
+    """_forward_streams, but per-level interpolated rows (f_a, g_a) and the
+    hat/slope bases are STORED to VMEM scratch as they are produced. The
+    reverse pass reads them back instead of recomputing — the rebuild was
+    ~31% of backward FLOPs and 2 of its 3 basis builds (BASELINE.md)."""
+    bf = spec.jdtype
+    lanes = x3.shape[-1]
+    x01, inb = _scale_rows(spec, x3)
+    fold = w["fold"][...].astype(bf)
+    e = jnp.zeros((fold.shape[0], lanes), jnp.float32)
+    et = ([jnp.zeros_like(e) for _ in range(3)] if spec.tangents else None)
+    need_g = spec.tangents or spec.need_dx
+    off = 0
+    for li, (gres, r) in enumerate(spec.levels):
+        fold_l = fold[:, off:off + r]
+        fs, gs = [], []
+        for a in range(3):
+            b_, bp_ = _hat_and_slope(x01[a:a + 1], gres, bf)
+            b_refs[li][a * gres:(a + 1) * gres, :] = b_
+            t = w[f"a{a}l{li}"][...].astype(bf)
+            f = _mm(t, b_)
+            fg_refs[li][a * r:(a + 1) * r, :] = f
+            fs.append(f)
+            if need_g:
+                b_refs[li][(3 + a) * gres:(4 + a) * gres, :] = bp_
+                g = _mm(t, bp_) * inb[a]
+                fg_refs[li][(3 + a) * r:(4 + a) * r, :] = g
+                gs.append(g)
+        f0, f1, f2 = fs
+        e = e + _mm(fold_l, (f0 * f1 * f2).astype(bf))
+        if spec.tangents:
+            g0, g1, g2 = gs
+            et[0] = et[0] + _mm(fold_l, (g0 * f1 * f2).astype(bf))
+            et[1] = et[1] + _mm(fold_l, (f0 * g1 * f2).astype(bf))
+            et[2] = et[2] + _mm(fold_l, (f0 * f1 * g2).astype(bf))
+        off += r
+
+    s1 = w["s1"][...].astype(bf)
+    s2 = w["s2"][...].astype(bf)
+    z1 = _mm(s1, e.astype(bf))
+    dmask = (z1 > 0).astype(jnp.float32)
+    h = jnp.maximum(z1, 0.0)
+    sg = _mm(s2, h.astype(bf))
+    if not spec.tangents:
+        return dict(e=e, et=None, dmask=dmask, h=h, t=None, sg=sg,
+                    grad=jnp.zeros((3, lanes), jnp.float32))
+    t = [dmask * _mm(s1, et[a].astype(bf)) for a in range(3)]
+    grad = jnp.concatenate(
+        [_mm(s2[0:1, :], t[a].astype(bf)) for a in range(3)], axis=0)
+    return dict(e=e, et=et, dmask=dmask, h=h, t=t, sg=sg, grad=grad)
+
+
 def _fwd_kernel(spec: CPTrainSpec, names, x_ref, *refs):
     out_ref = refs[-1]
     w = {n: r for n, r in zip(names, refs[:-1])}
@@ -191,13 +251,18 @@ def _fwd_kernel(spec: CPTrainSpec, names, x_ref, *refs):
 
 
 def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
-    """Reverse pass with remat. Outputs (in order): d_x (3, L) block, then
+    """Reverse pass. Outputs (in order): d_x (3, L) block, then
     accumulators d_a{a}l{l} (R, G), d_fold (F, ΣR), d_s1 (H, F),
-    d_s2 (16, H) — accumulated across grid steps."""
+    d_s2 (16, H) — accumulated across grid steps. The forward re-run
+    stashes per-level rows/bases in the trailing VMEM scratch refs; the
+    product-rule loop reads them back (no second/third rebuild)."""
     nw = len(names)
+    nlev = len(spec.levels)
     w = {n: r for n, r in zip(names, refs[:nw])}
     dx_ref = refs[nw]
-    acc_refs = {n: r for n, r in zip(names, refs[nw + 1:])}
+    acc_refs = {n: r for n, r in zip(names, refs[nw + 1:nw + 1 + nw])}
+    fg_refs = refs[nw + 1 + nw:nw + 1 + nw + nlev]
+    b_refs = refs[nw + 1 + nw + nlev:nw + 1 + nw + 2 * nlev]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -207,7 +272,7 @@ def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
     bf = spec.jdtype
     x3 = x_ref[0]
     lanes = x3.shape[-1]
-    s = _forward_streams(spec, w, x3)
+    s = _forward_streams_stash(spec, w, x3, fg_refs, b_refs)
 
     cot = cot_ref[0]
     sgbar = cot[0:16, :]   # [σ̄ ; ḡeo]
@@ -256,23 +321,20 @@ def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
                  for a in range(3)]
 
     # --- per-level product rule + table grads + d_x + d_fold ---
-    # (f̄old's feats/tf operands are rebuilt here level by level, so the
-    # (ΣR, L) streams never live in VMEM — see _forward_streams)
+    # (f̄old's feats/tf operands and the hat/slope bases come from the
+    # scratch stash written by _forward_streams_stash above)
     x01, inb = _scale_rows(spec, x3)
+    need_g = spec.tangents or spec.need_dx
     off = 0
     xbar = [jnp.zeros((1, lanes), jnp.float32) for _ in range(3)]
     for li, (gres, r) in enumerate(spec.levels):
         pb = featsbar[off:off + r, :]
-        if spec.tangents or spec.need_dx:
-            (f0, f1, f2), (g0, g1, g2) = _level_fg(spec, w, x01, inb, li)
-            gs = (g0, g1, g2)
+        fg = fg_refs[li]
+        f0, f1, f2 = (fg[0:r, :], fg[r:2 * r, :], fg[2 * r:3 * r, :])
+        if need_g:
+            gs = (fg[3 * r:4 * r, :], fg[4 * r:5 * r, :], fg[5 * r:6 * r, :])
+            g0, g1, g2 = gs
         else:
-            bf_ = spec.jdtype
-            fs = []
-            for a in range(3):
-                b_, _ = _hat_and_slope(x01[a:a + 1], gres, bf_)
-                fs.append(_mm(w[f"a{a}l{li}"][...].astype(bf_), b_))
-            f0, f1, f2 = fs
             gs = None
         # d_fold columns for this level: ebar ⊗ feats_l (+ tangent terms)
         d_fold_l = _mm_t(ebar.astype(bf), (f0 * f1 * f2).astype(bf))
@@ -295,10 +357,12 @@ def _bwd_kernel(spec: CPTrainSpec, names, x_ref, cot_ref, *refs):
                 fbar[2] + qb[0] * (g0 * f1) + qb[1] * (f0 * g1),
             ]
             gbar = [qb[0] * (f1 * f2), qb[1] * (f0 * f2), qb[2] * (f0 * f1)]
+        bb = b_refs[li]
         for a in range(3):
-            b_, bp_ = _hat_and_slope(x01[a:a + 1], gres, bf)
+            b_ = bb[a * gres:(a + 1) * gres, :]
             contrib = _mm_t(fbar[a].astype(bf), b_)
             if spec.tangents:
+                bp_ = bb[(3 + a) * gres:(4 + a) * gres, :]
                 contrib = contrib + _mm_t((gbar[a] * inb[a]).astype(bf), bp_)
             nm = f"a{a}l{li}"
             acc_refs[nm][...] += contrib
@@ -369,6 +433,10 @@ def _bwd_call(w, x3, cot, spec: CPTrainSpec, interpret: bool):
                               memory_space=pltpu.VMEM) for nm in names]
     acc_shapes = [jax.ShapeDtypeStruct(w[nm].shape, jnp.float32)
                   for nm in names]
+    scratch = (
+        [pltpu.VMEM((rf, lanes), jnp.float32) for rf, _ in _stash_rows(spec)]
+        + [pltpu.VMEM((rb, lanes), spec.jdtype)
+           for _, rb in _stash_rows(spec)])
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spec, names),
         grid=(nb,),
@@ -377,6 +445,7 @@ def _bwd_call(w, x3, cot, spec: CPTrainSpec, interpret: bool):
                                 memory_space=pltpu.VMEM), *acc_specs],
         out_shape=[jax.ShapeDtypeStruct((nb, 3, lanes), jnp.float32),
                    *acc_shapes],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x3, cot, *[w[nm] for nm in names])
     dx3 = outs[0]

@@ -174,14 +174,22 @@ def main(argv=None):
                               recursive=True))[-1]
         data = json.load(gzip.open(tr))
         pids = {}
+        tids = {}
         for e in data.get("traceEvents", []):
             if e.get("ph") == "M" and e.get("name") == "process_name":
                 pids[e["pid"]] = e["args"].get("name", "")
+            if e.get("ph") == "M" and e.get("name") == "thread_name":
+                tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
         dev_pids = {p for p, n in pids.items() if "TPU" in n}
+        # Only the "XLA Ops" track is op-level device time; the "Steps" and
+        # "XLA Modules" tracks are umbrella spans (counting them inflated
+        # "device busy" ~3x and surfaced step numbers as phantom ops).
+        op_keys = {k for k, n in tids.items()
+                   if k[0] in dev_pids and "XLA Ops" in n}
         agg = collections.Counter()
         ops = collections.Counter()
         for e in data.get("traceEvents", []):
-            if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in op_keys:
                 full = e["name"]
                 name = full.split(".")[0][:55]
                 if name.startswith("jit_"):
