@@ -38,6 +38,10 @@ def main(argv=None):
     # tunnel latency, which otherwise caps wall throughput at ~45% of the
     # device rate on this attachment (measured: 450k -> 975k rays/s at K=4)
     p.add_argument("--megabatch", type=int, default=4)
+    # proposal-lite: σ-only proposal passes drop this many of the finest CP
+    # levels (nerf_tpu fused path). Quality-gated on the champion trained
+    # checkpoint (BASELINE.md) before becoming the default.
+    p.add_argument("--proposal_drop", type=int, default=0)
     args = p.parse_args(argv)
 
     import jax
@@ -86,7 +90,9 @@ def main(argv=None):
     rs = RenderSettings(N_samples=64, N_importance=64, perturb=0.0,
                         noise_std=0.0, test_time=True, compute_normal=False,
                         fine_pass="fine",
-                        fused_field=args.model in ("nerf", "nerf_tpu"))
+                        fused_field=args.model in ("nerf", "nerf_tpu"),
+                        proposal_drop=(args.proposal_drop
+                                       if args.model == "nerf_tpu" else 0))
     ts = TraceSettings(render=rs, trace_secondary_rays=True,
                        max_recursive_level=2, only_trace_mode="eval",
                        is_eval=False, compact_frac=0.25, compact_level0=True)

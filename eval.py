@@ -32,6 +32,11 @@ def get_opt(argv=None):
     # fully-fused Pallas field kernels on the eval path (bf16 MXU; exact up
     # to bf16 rounding). Supported for model_type nerf and nerf_tpu.
     parser.add_argument("--fused_field", default=False, action="store_true")
+    # proposal-lite: truncate this many of the finest CP levels in σ-only
+    # proposal (coarse) passes — eval-time perf knob for the nerf_tpu fused
+    # path only (the proposal just shapes the fine-sample PDF; quality gate
+    # on the champion ckpt in BASELINE.md). Requires --fused_field.
+    parser.add_argument("--proposal_drop_levels", type=int, default=0)
     # chunks rendered per dispatch (lax.map); 0 = auto (4 on TPU, 1 on CPU).
     # Amortizes per-dispatch tunnel latency — measured 2.2x wall throughput
     # on the tunneled v5e attachment (BASELINE.md).

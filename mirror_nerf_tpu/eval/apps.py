@@ -442,7 +442,13 @@ class AppContext:
             fine_pass=("fine" if cfg.N_importance > 0 and not cfg.only_one_field
                        else ("coarse" if cfg.N_importance > 0 else "none")),
             fused_field=getattr(args, "fused_field", False),
+            proposal_drop=getattr(args, "proposal_drop_levels", 0),
         )
+        if getattr(args, "proposal_drop_levels", 0) and not (
+                getattr(args, "fused_field", False)
+                and cfg.model_type == "nerf_tpu"):
+            print("[warn] --proposal_drop_levels has no effect without "
+                  "--fused_field on model_type nerf_tpu", flush=True)
         app = EvalAppFlags(
             place_new_mirror=(plane_preset(args.plane_pos, cfg.root_dir)
                               if args.app_place_new_mirror else None),

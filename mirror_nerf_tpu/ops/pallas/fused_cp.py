@@ -114,7 +114,8 @@ class CPFusedSpec:
 
 
 def pack_cp_params(params: dict, field, lanes: int = LANES,
-                   dtype=jnp.bfloat16, basis: str = "hat") -> dict:
+                   dtype=jnp.bfloat16, basis: str = "hat",
+                   n_levels: int = None) -> dict:
     """Transpose/pad a TPUGridField param pytree for the fused kernel.
 
     `lanes` is kept for call-site stability but no longer shapes anything:
@@ -125,16 +126,23 @@ def pack_cp_params(params: dict, field, lanes: int = LANES,
     8-row output space (0 σ, 1:4 rgb, 4:7 normal, 7 mirror) so the kernel
     just sums matmul results. With basis="cum" the axis tables are packed
     as first-order differences (see CPFusedSpec.basis).
+
+    `n_levels` (proposal-lite): pack only the first n coarsest CP levels and
+    the matching fold columns — the exact truncated interpolant used by the
+    σ-only proposal pass (RenderSettings.proposal_drop). Identical to
+    evaluating a field whose grid_levels / fold were sliced the same way.
     """
     spec = field.cp_spec
+    levels = spec.levels if n_levels is None else spec.levels[:n_levels]
     p = {}
     for a in range(3):
-        for li, (g, r) in enumerate(spec.levels):
+        for li, (g, r) in enumerate(levels):
             t = jnp.asarray(params["grid"]["axes"][a][li], jnp.float32).T
             if basis == "cum":
                 t = jnp.concatenate([t[:, :1], t[:, 1:] - t[:, :-1]], axis=1)
             p[f"a{a}l{li}"] = t.astype(dtype)
-    p["fold"] = params["grid"]["fold"].T.astype(dtype)  # (32, ΣR)
+    keep_r = sum(r for _, r in levels)
+    p["fold"] = params["grid"]["fold"].T[:, :keep_r].astype(dtype)  # (32, ΣR)
     s = params["sigma_net"]
     p["s1"] = s[0]["w"].T.astype(dtype)  # (64, 32)
     p["s2"] = s[1]["w"].T.astype(dtype)  # (16, 64)
@@ -533,11 +541,16 @@ def fused_cp_forward_composite(packed: dict, x3, d3, z_row, dl_row,
 
 def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
                             z_vals, sigma_only: bool = False,
-                            interpret: bool = None, lanes: int = None):
+                            interpret: bool = None, lanes: int = None,
+                            drop_levels: int = 0):
     """Composite-mode adapter (same contract as
     fused_mlp_t.fused_t_rays_eval): weights (N, S) always; plus per-ray
     opacity/rgb/normal/mirror/depth unless sigma_only. Eval semantics
-    (no σ noise)."""
+    (no σ noise).
+
+    `drop_levels` (proposal-lite): evaluate with the finest `drop_levels`
+    CP levels truncated (tables + fold columns) — used by the σ-only
+    proposal pass only; see RenderSettings.proposal_drop."""
     import os
 
     if interpret is None:
@@ -547,8 +560,13 @@ def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
     if lanes % s != 0:
         lanes = s * max(1, lanes // s)
     ray_inputs = os.environ.get("MNERF_CP_RAYMODE", "1") != "0"
+    n_levels = len(field.grid_levels) - drop_levels
+    assert n_levels >= 1, "proposal_drop must keep at least one CP level"
+    import os as _dbg_os
+    if _dbg_os.environ.get("MNERF_DBG_DROP"):
+        print(f"[dbg] composite trace: sigma_only={sigma_only} drop={drop_levels} n_levels={n_levels}", flush=True)
     spec = CPFusedSpec(
-        levels=tuple(field.grid_levels), sigma_only=sigma_only,
+        levels=tuple(field.grid_levels)[:n_levels], sigma_only=sigma_only,
         predict_normal=field.predict_normal,
         predict_mirror_mask=field.predict_mirror_mask,
         dtype="float32" if interpret else "bfloat16",
@@ -567,7 +585,8 @@ def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
     inv2b = 1.0 / (2.0 * field.bound)
     z_row = _axis_blocks([z], spec.lanes)
     packed = pack_cp_params(params, field, lanes=spec.lanes,
-                            dtype=spec.jdtype, basis=spec.basis)
+                            dtype=spec.jdtype, basis=spec.basis,
+                            n_levels=n_levels)
     if ray_inputs:
         # per-ray (NB, 9, R) rows: scaled origin, scaled dir, view dir —
         # x3/d3/δ are built inside the kernel (32 B/sample -> ~4 B/sample)
@@ -624,17 +643,21 @@ def _axis_blocks(comps, lanes: int) -> jnp.ndarray:
 
 def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
                        z_vals, sigma_only: bool = False,
-                       interpret: bool = None, lanes: int = None):
+                       interpret: bool = None, lanes: int = None,
+                       drop_levels: int = 0):
     """Ray-mode adapter: (N,3) o/d + (N,S) depths -> dict of per-sample
     outputs in sample-major layout: sigma (N,S) [+ rgb (N,S,3),
-    normal (N,S,3), mirror (N,S)]. Forward-only."""
+    normal (N,S,3), mirror (N,S)]. Forward-only. `drop_levels`: see
+    fused_cp_rays_composite."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, s = z_vals.shape
     import os
 
+    n_levels = len(field.grid_levels) - drop_levels
+    assert n_levels >= 1, "proposal_drop must keep at least one CP level"
     spec = CPFusedSpec(
-        levels=tuple(field.grid_levels), sigma_only=sigma_only,
+        levels=tuple(field.grid_levels)[:n_levels], sigma_only=sigma_only,
         predict_normal=field.predict_normal,
         predict_mirror_mask=field.predict_mirror_mask,
         dtype="float32" if interpret else "bfloat16",
@@ -652,7 +675,8 @@ def fused_cp_rays_eval(field, params: dict, rays_o, rays_d, view_dirs,
             [jnp.broadcast_to(view_dirs[:, a:a + 1], (n, s))
              for a in range(3)], spec.lanes)
     packed = pack_cp_params(params, field, lanes=spec.lanes,
-                            dtype=spec.jdtype, basis=spec.basis)
+                            dtype=spec.jdtype, basis=spec.basis,
+                            n_levels=n_levels)
     out = fused_cp_forward(packed, x3, d3, spec, interpret=interpret)
     # (NB, 8, L) -> (8, T): move the 8 channel rows out, flatten blocks
     # (whole-L-row moves only; rgb/normal stay CHANNEL-major — a .T back to

@@ -73,6 +73,11 @@ class RenderSettings:
     # in-kernel compositing (applies when fused_field is set and the pass is
     # plain eval — no noise/occupancy/early-term masks)
     fused_t: bool = True
+    # proposal-lite (eval-only, CP-grid fused path): truncate this many of
+    # the FINEST CP levels in σ-only proposal passes (the coarse pass whose
+    # weights only shape the fine-sample PDF). The finest level is ~61% of
+    # encoder FLOPs; quality gate on the champion checkpoint in BASELINE.md.
+    proposal_drop: int = 0
 
     @property
     def has_fine(self) -> bool:
@@ -303,10 +308,12 @@ def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
     from ..ops.pallas.fused_cp import (fused_cp_rays_composite,
                                        fused_cp_rays_eval)
 
+    drop = rs.proposal_drop if sigma_only else 0
     if rs.noise_std == 0:
         # composite mode: weights + the per-ray render computed in-kernel
         res = fused_cp_rays_composite(field, params, ray_o, ray_d, dirs,
-                                      z_vals, sigma_only=sigma_only)
+                                      z_vals, sigma_only=sigma_only,
+                                      drop_levels=drop)
         weights = res["weights"]
         results[f"weights_{typ}"] = weights
         results[f"z_vals_{typ}"] = z_vals
@@ -326,7 +333,7 @@ def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
         return results
 
     res = fused_cp_rays_eval(field, params, ray_o, ray_d, dirs, z_vals,
-                             sigma_only=sigma_only)
+                             sigma_only=sigma_only, drop_levels=drop)
     sigmas = res["sigma"]
     noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
              if rs.noise_std > 0 else jnp.zeros_like(sigmas))
