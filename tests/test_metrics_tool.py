@@ -172,3 +172,60 @@ class TestLPIPSJax:
         im = rng.uniform(size=(64, 64, 3)).astype("f4")
         assert np.isfinite(lpips(im, 1 - im, weights_path=npz))
         assert np.isnan(lpips(im, im, weights_path=None))
+
+    def test_converter_roundtrip(self, tmp_path):
+        """tools/convert_lpips_weights.py: two torch state-dict files
+        (AlexNet features + lpips lins, the shape of the published
+        artifacts) -> canonical npz that lpips_from_file consumes."""
+        import numpy as np
+        import torch
+
+        from mirror_nerf_tpu.eval.lpips_jax import lpips_forward, lpips_from_file
+        from tools.convert_lpips_weights import convert
+
+        w = self._synth_weights(seed=4)
+        feat_idx = (0, 3, 6, 8, 10)
+        alex_sd = {}
+        for i, fi in enumerate(feat_idx):
+            alex_sd[f"features.{fi}.weight"] = torch.from_numpy(w[f"conv{i}/w"])
+            alex_sd[f"features.{fi}.bias"] = torch.from_numpy(w[f"conv{i}/b"])
+        lins_sd = {f"lin{i}.model.1.weight":
+                   torch.from_numpy(w[f"lin{i}/w"].reshape(1, -1, 1, 1))
+                   for i in range(5)}
+        f_alex = str(tmp_path / "alexnet.pth")
+        f_lins = str(tmp_path / "alex_lins.pth")
+        torch.save(alex_sd, f_alex)
+        torch.save(lins_sd, f_lins)
+
+        out = str(tmp_path / "lpips_alex.npz")
+        converted = convert([f_alex, f_lins], out)
+        for k, v in w.items():
+            np.testing.assert_array_equal(converted[k], v)
+
+        rng = np.random.default_rng(5)
+        im0 = rng.uniform(size=(64, 64, 3)).astype("f4")
+        im1 = rng.uniform(size=(64, 64, 3)).astype("f4")
+        v_file = lpips_from_file(im0, im1, out)
+        v_direct = lpips_forward(w, im0, im1)
+        assert np.isfinite(v_file) and abs(v_file - v_direct) < 1e-6
+
+    def test_converter_rejects_bad_shapes(self, tmp_path):
+        import numpy as np
+        import pytest
+        import torch
+
+        from tools.convert_lpips_weights import convert
+
+        w = self._synth_weights(seed=6)
+        sd = {}
+        for i, fi in enumerate((0, 3, 6, 8, 10)):
+            sd[f"features.{fi}.weight"] = torch.from_numpy(w[f"conv{i}/w"])
+            sd[f"features.{fi}.bias"] = torch.from_numpy(w[f"conv{i}/b"])
+        for i in range(5):
+            sd[f"lin{i}.model.1.weight"] = torch.from_numpy(
+                w[f"lin{i}/w"].reshape(1, -1, 1, 1))
+        sd["features.0.weight"] = torch.zeros(64, 3, 7, 7)  # wrong kernel
+        f = str(tmp_path / "bad.pth")
+        torch.save(sd, f)
+        with pytest.raises(ValueError, match="conv0/w shape"):
+            convert([f], str(tmp_path / "out.npz"))
