@@ -94,8 +94,8 @@ def main(argv=None):
     params_like = {"coarse": field.init(jax.random.PRNGKey(0))}
     if cfg.N_importance > 0 and not cfg.only_one_field:
         params_like["fine"] = field.init(jax.random.PRNGKey(1))
-    params = load_params_any(cfg.ckpt_path, params_like) if cfg.ckpt_path \
-        else params_like
+    params = load_params_any(cfg.ckpt_path, params_like, field=field) \
+        if cfg.ckpt_path else params_like
 
     ctx = AppContext.build(cfg, args, field, params)
 

@@ -58,7 +58,8 @@ def main(argv=None):
     like = {"coarse": field.init(jax.random.PRNGKey(0))}
     if cfg.N_importance > 0 and not cfg.only_one_field:
         like["fine"] = field.init(jax.random.PRNGKey(1))
-    params = load_params_any(cfg.ckpt_path, like) if cfg.ckpt_path else like
+    params = load_params_any(cfg.ckpt_path, like, field=field) \
+        if cfg.ckpt_path else like
     fine_params = params.get("fine", params["coarse"])
 
     dir_name = f"results/{cfg.dataset_name}/{cfg.exp_name}/mesh"

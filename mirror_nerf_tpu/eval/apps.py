@@ -487,7 +487,7 @@ class AppContext:
             s.transform = substitution_transform(cfg.root_dir)
             ctx.subst_field = s
             ctx.subst_params = load_params_any(args.substitution_ckpt_path,
-                                               like)
+                                               like, field=sub_field)
         if app.reflect_objects:
             if not args.obj_ckpt_path:
                 raise SystemExit("[Error] obj_ckpt_path required for "

@@ -267,3 +267,121 @@ def test_lightning_ckpt_file_roundtrip(tmp_path):
     b_t = sd["nerf_coarse.sigma.bias"].numpy()
     np.testing.assert_array_equal(
         np.asarray(params["coarse"]["sigma"]["b"]), b_t)
+
+
+class TestNGPTorchImport:
+    """Import shim for published `nerf_tcnn` Lightning checkpoints
+    (reference models/mirror_nerf_tcnn.py:36-149: tcnn HashGrid `params`
+    blob + bias-free sigma/color/normal nets + biased is_mirror head)."""
+
+    def _sd_side(self, prefix, field, rng):
+        from mirror_nerf_tpu.train.checkpoints import _tcnn_level_sizes
+
+        sizes = _tcnn_level_sizes(field.grid_spec)
+        blob = rng.normal(0, 1e-4, (sum(sizes) * 2,)).astype(np.float16)
+        sd = {f"{prefix}.encoder.params": torch.from_numpy(blob)}
+        dims = [field.in_dim] + [field.hidden_dim] * (field.num_layers - 1) \
+            + [1 + field.geo_feat_dim]
+        for i in range(field.num_layers):
+            sd[f"{prefix}.sigma_net.{i}.weight"] = torch.from_numpy(
+                rng.normal(size=(dims[i + 1], dims[i])).astype(np.float32))
+        cdims = [field.in_dim_dir + field.geo_feat_dim] + \
+            [field.hidden_dim_color] * (field.num_layers_color - 1) + [3]
+        for i in range(field.num_layers_color):
+            sd[f"{prefix}.color_net.{i}.weight"] = torch.from_numpy(
+                rng.normal(size=(cdims[i + 1], cdims[i])).astype(np.float32))
+        ndims = [field.geo_feat_dim] + [field.hidden_dim] * (
+            field.num_layers - 1) + [3]
+        for i in range(field.num_layers):
+            sd[f"{prefix}.normal_net.{i}.weight"] = torch.from_numpy(
+                rng.normal(size=(ndims[i + 1], ndims[i])).astype(np.float32))
+        h = field.hidden_dim // 2
+        sd[f"{prefix}.is_mirror_net.0.weight"] = torch.from_numpy(
+            rng.normal(size=(h, field.geo_feat_dim)).astype(np.float32))
+        sd[f"{prefix}.is_mirror_net.0.bias"] = torch.from_numpy(
+            rng.normal(size=(h,)).astype(np.float32))
+        sd[f"{prefix}.is_mirror_net.2.weight"] = torch.from_numpy(
+            rng.normal(size=(1, h)).astype(np.float32))
+        sd[f"{prefix}.is_mirror_net.2.bias"] = torch.from_numpy(
+            rng.normal(size=(1,)).astype(np.float32))
+        return sd
+
+    def test_tcnn_blob_and_nets_load(self, tmp_path):
+        import jax
+
+        from mirror_nerf_tpu.models.ngp import NGPField
+        from mirror_nerf_tpu.train.checkpoints import (_tcnn_level_sizes,
+                                                       load_params_any)
+
+        field = NGPField(bound=1.0, n_levels=4, log2_hashmap_size=12)
+        rng = np.random.default_rng(7)
+        sd = {}
+        sd.update(self._sd_side("nerf_coarse", field, rng))
+        sd.update(self._sd_side("nerf_fine", field, rng))
+        ckpt = {"state_dict": {k: v for k, v in sd.items()},
+                "epoch": 29, "pytorch-lightning_version": "1.5.2"}
+        path = str(tmp_path / "ngp.ckpt")
+        torch.save(ckpt, path)
+
+        like = {"coarse": field.init(jax.random.PRNGKey(0)),
+                "fine": field.init(jax.random.PRNGKey(1))}
+        params = load_params_any(path, like, field=field)
+
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(like)
+        # net transposes applied
+        w_t = sd["nerf_fine.sigma_net.0.weight"].numpy()
+        np.testing.assert_array_equal(
+            np.asarray(params["fine"]["sigma_net"][0]["w"]), w_t.T)
+        b_t = sd["nerf_coarse.is_mirror_net.0.bias"].numpy()
+        np.testing.assert_array_equal(
+            np.asarray(params["coarse"]["is_mirror"][0]["b"]), b_t)
+        # per-level grid copy: each level's leading min(rows) entries match
+        # the tcnn blob segment (fp16 -> fp32 cast applied)
+        sizes = _tcnn_level_sizes(field.grid_spec)
+        blob = sd["nerf_coarse.encoder.params"].numpy().astype(
+            np.float32).reshape(-1, 2)
+        table = np.asarray(params["coarse"]["grid"])
+        src_off = 0
+        for lv, src_size in zip(field.grid_spec.levels(), sizes):
+            n = min(lv.size, src_size)
+            np.testing.assert_array_equal(
+                table[lv.offset:lv.offset + n], blob[src_off:src_off + n])
+            src_off += src_size
+        # padding rows (if any) keep the init values
+        lv0 = field.grid_spec.levels()[0]
+        if lv0.size > sizes[0]:
+            np.testing.assert_array_equal(
+                table[lv0.offset + sizes[0]:lv0.offset + lv0.size],
+                np.asarray(like["coarse"]["grid"])[
+                    lv0.offset + sizes[0]:lv0.offset + lv0.size])
+        # loaded params run through the field forward
+        xyz = jax.numpy.asarray(
+            rng.uniform(-1, 1, (8, 3)).astype(np.float32))
+        sigma, geo = field.density(params["coarse"], xyz)
+        assert sigma.shape == (8,) and np.isfinite(np.asarray(sigma)).all()
+
+    def test_default_bound_reconstruction(self):
+        from mirror_nerf_tpu.models.ngp import NGPField
+        from mirror_nerf_tpu.train.checkpoints import _bound_from_rows
+
+        for bound in (1.0, 6.0):
+            rows = NGPField(bound=bound).grid_spec.table_rows
+            assert _bound_from_rows(rows) == bound
+
+    def test_wrong_blob_size_raises(self, tmp_path):
+        import jax
+        import pytest
+
+        from mirror_nerf_tpu.models.ngp import NGPField
+        from mirror_nerf_tpu.train.checkpoints import load_params_any
+
+        field = NGPField(bound=1.0, n_levels=4, log2_hashmap_size=12)
+        rng = np.random.default_rng(8)
+        sd = self._sd_side("nerf_coarse", field, rng)
+        sd["nerf_coarse.encoder.params"] = torch.zeros(38)  # garbage size
+        path = str(tmp_path / "bad.ckpt")
+        torch.save({"state_dict": sd}, path)
+        like = {"coarse": field.init(jax.random.PRNGKey(0))}
+        with pytest.raises(ValueError, match="rows"):
+            load_params_any(path, like, field=field)

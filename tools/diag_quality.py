@@ -78,7 +78,7 @@ def main():
     field = make_field(cfg)
     like = {"coarse": field.init(jax.random.PRNGKey(0)),
             "fine": field.init(jax.random.PRNGKey(1))}
-    params = load_params_any(args.ckpt, like)
+    params = load_params_any(args.ckpt, like, field=field)
     ds = BlenderDataset(args.root, "test", cfg.img_wh, cfg)
     ts = make_trace_settings(cfg, epoch=10 ** 6, geometry_stage=False,
                              is_eval=True, test_time=True)
