@@ -28,6 +28,7 @@ Applications (all flag-compatible with the reference CLI):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional, Tuple
 
@@ -432,6 +433,51 @@ class AppContext:
             self.jit_cache["roughness_bundle"] = jax.jit(fn)
         return self.jit_cache["roughness_bundle"]
 
+    def roughness_bundles_batched(self):
+        """All T+1 Monte-Carlo bundles of the roughness app in ONE dispatch:
+        a lax.scan over the per-bundle PRNG keys runs the same perturbed-normal
+        secondary render as `roughness_bundle` and accumulates the rgb sum on
+        device, so mode 5 pays one tunnel round-trip per chunk instead of
+        trace_ray_times+1 (ref eval.py:623-674 loops 64 full CUDA renders).
+        Noise is derived from the identical fold_in keys the host loop uses,
+        so the result matches the sequential path bitwise."""
+        if self.jit_cache is None:
+            self.jit_cache = {}
+        if "roughness_bundles_k" not in self.jit_cache:
+            cfg = self.cfg
+            sel = "fine" if self.rs.fine_pass == "fine" else "coarse"
+
+            def one(params, secondary_o, normal_base, rays, key, noise_std):
+                noise = jax.random.normal(
+                    key, secondary_o.shape, jnp.float32) * noise_std
+                normal = l2_normalize(normal_base + noise)
+                d = rays[:, 3:6]
+                far = rays[:, 7:8]
+                w = l2_normalize(-d)
+                cos = jnp.sum(w * normal, axis=-1, keepdims=True)
+                reflect_dir = 2.0 * cos * normal - w
+                bundle = jnp.concatenate(
+                    [secondary_o, reflect_dir,
+                     jnp.full_like(far, RAY_FORWARD_OFFSET), far], axis=-1)
+                res = eval_trace(
+                    self.field, params, bundle, key, self.rs, self.app,
+                    cfg.max_recursive_level, cfg.trace_secondary_rays,
+                    level=1)
+                return res[f"rgb_{sel}"]
+
+            def fn(params, secondary_o, normal_base, rays, keys, noise_std):
+                def body(acc, key):
+                    rgb = one(params, secondary_o, normal_base, rays, key,
+                              noise_std)
+                    return acc + rgb, None
+
+                init = jnp.zeros(secondary_o.shape[:1] + (3,), jnp.float32)
+                total, _ = jax.lax.scan(body, init, keys)
+                return total
+
+            self.jit_cache["roughness_bundles_k"] = jax.jit(fn)
+        return self.jit_cache["roughness_bundles_k"]
+
     @classmethod
     def build(cls, cfg, args, field, params):
         rs = RenderSettings(
@@ -786,16 +832,24 @@ def run_view(ctx: AppContext, sample: dict, progress: float,
                     for kk, vv in run_chunk(r, k, normal_noise=jnp.zeros(
                         (chunk, 3), jnp.float32)).items()}
             sel = "fine" if ctx.rs.fine_pass == "fine" else "coarse"
-            bundle = ctx.roughness_bundle()
-            acc = None
-            for t in range(T + 1):
-                kt = jax.random.fold_in(k, t)
-                noise = jax.random.normal(kt, (chunk, 3)) * noise_std
-                sec_rgb = np.asarray(bundle(
+            keys = jnp.stack([jax.random.fold_in(k, t) for t in range(T + 1)])
+            if os.environ.get("MNERF_ROUGHNESS_HOST_LOOP", "0") == "1":
+                acc = None  # sequential fallback: one dispatch per bundle
+                bundle = ctx.roughness_bundle()
+                for t in range(T + 1):
+                    kt = jax.random.fold_in(k, t)
+                    noise = jax.random.normal(kt, (chunk, 3)) * noise_std
+                    sec_rgb = np.asarray(bundle(
+                        ctx.params, ctx.put_batch(base["secondary_rays_o"]),
+                        ctx.put_batch(base["_normal_presmooth"]),
+                        ctx.put_batch(r), ctx.put_batch(noise), kt))
+                    acc = sec_rgb if acc is None else acc + sec_rgb
+            else:
+                acc = np.asarray(ctx.roughness_bundles_batched()(
                     ctx.params, ctx.put_batch(base["secondary_rays_o"]),
                     ctx.put_batch(base["_normal_presmooth"]),
-                    ctx.put_batch(r), ctx.put_batch(noise), kt))
-                acc = sec_rgb if acc is None else acc + sec_rgb
+                    ctx.put_batch(r), keys,
+                    jnp.float32(noise_std)))
             sec_mean = acc / (T + 1)
             m = base["mirror_mask_resolved"][:, None]
             base[f"rgb_{sel}"] = (m * sec_mean

@@ -126,6 +126,32 @@ def test_eval_app_roughness(scene, ckpt, tmp_path):
 
 
 @pytest.mark.slow
+def test_eval_app_roughness_batched_matches_host_loop(scene, ckpt, tmp_path):
+    """The single-dispatch lax.scan bundle render (default) must reproduce
+    the sequential one-dispatch-per-bundle fallback exactly — same fold_in
+    keys, same accumulation order."""
+    from PIL import Image
+
+    extra = ("--app_control_mirror_roughness", "--trace_ray_times", "2",
+             "--normal_noise_std", "0.05", "--only_eval_idx", "0")
+    (tmp_path / "batched").mkdir()
+    (tmp_path / "host").mkdir()
+    dir_b, base_b = _run_eval(scene, ckpt, tmp_path / "batched", extra=extra)
+    os.environ["MNERF_ROUGHNESS_HOST_LOOP"] = "1"
+    try:
+        dir_h, base_h = _run_eval(scene, ckpt, tmp_path / "host", extra=extra)
+    finally:
+        del os.environ["MNERF_ROUGHNESS_HOST_LOOP"]
+    a = np.asarray(Image.open(
+        os.path.join(base_b, dir_b, "rgb_fine_000.png")), np.int16)
+    b = np.asarray(Image.open(
+        os.path.join(base_h, dir_h, "rgb_fine_000.png")), np.int16)
+    # fp32 scan-order identical → at most quantization-boundary wobble
+    assert np.abs(a - b).max() <= 1
+    assert (a != b).mean() < 0.01
+
+
+@pytest.mark.slow
 def test_eval_app_substitution(scene, ckpt, tmp_path):
     dir_name, base = _run_eval(
         scene, ckpt, tmp_path,
