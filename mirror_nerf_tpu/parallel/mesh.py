@@ -61,3 +61,59 @@ def replicate(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Mesh:
+    """Multi-host entry glue: initialize the JAX distributed runtime and
+    return the global 1-D data mesh over ALL hosts' devices.
+
+    Launch topology (one process per host, same program everywhere):
+
+        # host i of H:
+        from mirror_nerf_tpu.parallel.mesh import init_distributed
+        mesh = init_distributed("host0:8476", H, i)   # or rely on TPU env
+        # ... build the Trainer with mesh=mesh; feed each host its
+        # process-local slice via host_local_batch(mesh, batch).
+
+    On Cloud TPU pods `jax.distributed.initialize()` auto-discovers the
+    coordinator/topology from the TPU environment, so all three arguments
+    may be None. Afterwards `jax.devices()` is the GLOBAL device list and
+    the returned mesh spans every chip; the jitted train step is unchanged
+    — XLA lowers the gradient psum to ICI all-reduces across the pod.
+    Safe to call in single-process runs (skips initialization).
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    elif coordinator_address is None and num_processes is None and \
+            jax.process_count() == 1 and _tpu_pod_env():
+        jax.distributed.initialize()
+    return get_mesh()
+
+
+def _tpu_pod_env() -> bool:
+    import os
+
+    return bool(os.environ.get("TPU_WORKER_HOSTNAMES")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+
+
+def host_local_batch(mesh: Mesh, batch):
+    """Build globally-sharded arrays from each process's LOCAL shard.
+
+    In multi-host SPMD every process holds only its slice of the global ray
+    batch (global leading axis = sum of the per-host slices, in process
+    order). `jax.make_array_from_process_local_data` assembles the logical
+    global array without any cross-host copy — each host's data lands on its
+    own chips. Single-process meshes fall back to `shard_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, batch)
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch)

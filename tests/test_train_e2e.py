@@ -300,3 +300,58 @@ def test_two_epoch_trajectory_matches_across_mesh_sizes(scene, tmp_path):
     frac = float(np.mean(diff > tol))
     assert frac < 1e-3, f"{frac:.2%} of params drifted past the Adam bound"
     assert float(diff.max()) < 200 * cfg.lr, float(diff.max())
+
+
+def test_weak_scaling_throughput_shape(scene, tmp_path):
+    """Weak scaling: hold the PER-DEVICE batch constant and grow the mesh —
+    the global batch grows n_dev-fold, an epoch takes n_dev-fold fewer
+    optimizer steps over the same ray pool, and each device holds exactly
+    its per-device slice of every batch (VERDICT r3 #7)."""
+    from mirror_nerf_tpu.parallel.mesh import batch_sharding
+    from mirror_nerf_tpu.train.loop import EpochStatics
+
+    per_device = 64
+    shapes = {}
+    for n_dev in (1, 8):
+        cfg = Config(
+            root_dir=scene, img_wh=(24, 24), near=0.05, far=12.0, bound=6.0,
+            N_samples=6, N_importance=6, batch_size=per_device * n_dev,
+            num_epochs=1, predict_normal=True, predict_mirror_mask=True,
+            trace_secondary_rays=True, lr=5e-4, chunk=576,
+            steps_per_dispatch=1,
+        )
+        ds = BlenderDataset(scene, "train", cfg.img_wh, cfg)
+        mesh = get_mesh(n_dev)
+        trainer = Trainer(cfg, ds, str(tmp_path / f"weak{n_dev}"), mesh=mesh)
+        rays, rgbs, masks = ds.train_buffers()
+        bsh = batch_sharding(mesh)
+        batch = {
+            "rays": jax.device_put(rays[:cfg.batch_size], bsh),
+            "rgbs": jax.device_put(rgbs[:cfg.batch_size], bsh),
+            "mirror_mask": jax.device_put(masks[:cfg.batch_size], bsh),
+        }
+        # every device holds exactly the per-device slice
+        for shard in batch["rays"].addressable_shards:
+            assert shard.data.shape[0] == per_device
+        step = trainer.get_step_fn(EpochStatics.of(cfg, 0, False))
+        _, _, aux = step(trainer.params, trainer.opt_state, batch,
+                         jax.random.PRNGKey(0))
+        assert np.isfinite(float(aux["loss"]))
+        shapes[n_dev] = trainer.steps_per_epoch
+
+    # same ray pool -> 8x global batch means 8x fewer steps per epoch
+    assert shapes[1] == 8 * shapes[8] or (
+        # integer floor: allow off-by-rounding when n_rays % batch != 0
+        abs(shapes[1] - 8 * shapes[8]) <= 8), shapes
+
+
+def test_host_local_batch_single_process_matches_shard_batch(scene):
+    """host_local_batch degrades to shard_batch in single-process runs."""
+    from mirror_nerf_tpu.parallel.mesh import host_local_batch, shard_batch
+
+    mesh = get_mesh(8)
+    x = {"a": np.arange(64, dtype=np.float32).reshape(16, 4)}
+    a = host_local_batch(mesh, x)
+    b = shard_batch(mesh, x)
+    np.testing.assert_array_equal(np.asarray(a["a"]), np.asarray(b["a"]))
+    assert a["a"].sharding == b["a"].sharding
