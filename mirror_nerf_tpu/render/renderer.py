@@ -150,12 +150,22 @@ def _inference(
         force_fp32_grad = (
             rs.fp32_sigma_grad
             and getattr(field, "compute_dtype", "float32") == "bfloat16")
-        if force_fp32_grad:
-            # probe path: XLA only — the fused kernel is bf16 on hardware
+        if force_fp32_grad and not (
+                rs.fused_density
+                and getattr(field, "supports_fused_train", False)):
+            # XLA fallback: rebuild the density graph in fp32. The FUSED
+            # kernel needs no such downgrade (VERDICT r3 #3): it already
+            # carries what fp32_sigma_grad buys on this hardware — fp32
+            # coords/bases in VMEM, fp32 elementwise products, fp32
+            # accumulators — and its bf16 matmul OPERANDS match what the
+            # MXU does to the "fp32" XLA path anyway (default-precision
+            # operand truncation, docs/kernels.md). So bf16 compute_dtype
+            # + fp32_sigma_grad keeps the fused rate instead of dropping
+            # to the unfused fp32 path.
             import dataclasses
 
             f_grad = dataclasses.replace(field, compute_dtype="float32")
-        if (rs.fused_density and not force_fp32_grad
+        if (rs.fused_density
                 and getattr(f_grad, "supports_fused_train", False)):
             from ..ops.pallas.fused_cp_train import density_with_grad_fused
 

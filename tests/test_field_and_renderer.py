@@ -327,3 +327,46 @@ class TestFp32SigmaGradProbe:
         # while the color path stayed bf16 (differs from the fp32 run)
         assert not np.array_equal(np.asarray(out_probe["rgb_fine"]),
                                   np.asarray(out_fp32["rgb_fine"]))
+
+
+class TestFp32SigmaGradFusedRouting:
+    """VERDICT r3 #3: with the fused train kernel available, fp32_sigma_grad
+    must NOT drop to the unfused XLA path — the kernel already carries fp32
+    coords/products/accumulators (bf16 only on MXU operands, which the
+    default-precision XLA path truncates identically on hardware)."""
+
+    def test_bf16_plus_fp32_grad_stays_fused_and_accurate(self, rng):
+        import dataclasses
+
+        from mirror_nerf_tpu.models.tpugrid import TPUGridField
+
+        f32 = TPUGridField(bound=2.0, predict_normal=True,
+                           predict_mirror_mask=True,
+                           grid_levels=((8, 4), (16, 4)))
+        f16 = dataclasses.replace(f32, compute_dtype="bfloat16")
+        params = f32.init(jax.random.PRNGKey(0))
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        leaves = [l + 0.3 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        rays = _make_rays(4)
+        rs_fused = RenderSettings(N_samples=8, N_importance=8, perturb=0.0,
+                                  noise_std=0.0, compute_normal=True,
+                                  fp32_sigma_grad=True, fused_density=True)
+        rs_ref = RenderSettings(N_samples=8, N_importance=8, perturb=0.0,
+                                noise_std=0.0, compute_normal=True)
+        out = render_rays(f16, {"coarse": params, "fine": params},
+                          rays, rng, rs_fused)
+        ref = render_rays(f32, {"coarse": params, "fine": params},
+                          rays, rng, rs_ref)
+        assert np.abs(np.asarray(ref["weights_fine"])).max() > 0
+        # interpret-mode kernel is fp32: σ/normals match the fp32 field to
+        # op-reassociation tolerance (NOT the bf16 tax the old fallback
+        # was added to avoid)
+        np.testing.assert_allclose(np.asarray(out["weights_fine"]),
+                                   np.asarray(ref["weights_fine"]),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["normal_fine"]),
+                                   np.asarray(ref["normal_fine"]),
+                                   atol=1e-4, rtol=1e-3)
