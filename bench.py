@@ -42,6 +42,14 @@ def main(argv=None):
     # levels (nerf_tpu fused path). Quality-gated on the champion trained
     # checkpoint (BASELINE.md) before becoming the default.
     p.add_argument("--proposal_drop", type=int, default=0)
+    # proposal-skip: no coarse σ-only pass at all; N_samples+N_importance
+    # stratified samples in one fine pass. Quality-gated on the champion
+    # checkpoint (BASELINE.md round 4: the trained coarse proposal is
+    # DIVERGED — psnr_coarse ≈ 4.9 — so its PDF is uniform noise and the
+    # pass is pure waste). Use --no-proposal_skip to restore the
+    # reference-shaped 64-proposal + 128-fine schedule.
+    p.add_argument("--proposal_skip", default=True,
+                   action=argparse.BooleanOptionalAction)
     args = p.parse_args(argv)
 
     import jax
@@ -92,7 +100,8 @@ def main(argv=None):
                         fine_pass="fine",
                         fused_field=args.model in ("nerf", "nerf_tpu"),
                         proposal_drop=(args.proposal_drop
-                                       if args.model == "nerf_tpu" else 0))
+                                       if args.model == "nerf_tpu" else 0),
+                        proposal_skip=args.proposal_skip)
     ts = TraceSettings(render=rs, trace_secondary_rays=True,
                        max_recursive_level=2, only_trace_mode="eval",
                        is_eval=False, compact_frac=0.25, compact_level0=True)

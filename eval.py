@@ -37,6 +37,14 @@ def get_opt(argv=None):
     # path only (the proposal just shapes the fine-sample PDF; quality gate
     # on the champion ckpt in BASELINE.md). Requires --fused_field.
     parser.add_argument("--proposal_drop_levels", type=int, default=0)
+    # proposal-SKIP: drop the coarse σ-only proposal pass entirely and
+    # spend N_samples+N_importance stratified samples in one fine pass.
+    # Measured rationale (BASELINE.md round 4): champion CP-grid ckpts
+    # train with a diverged coarse field (psnr_coarse ≈ 4.9), so the
+    # importance PDF is effectively uniform and the proposal pass is pure
+    # FLOP waste. Quality-gate per checkpoint before relying on it.
+    parser.add_argument("--proposal_skip", default=False,
+                        action="store_true")
     # chunks rendered per dispatch (lax.map); 0 = auto (4 on TPU, 1 on CPU).
     # Amortizes per-dispatch tunnel latency — measured 2.2x wall throughput
     # on the tunneled v5e attachment (BASELINE.md).

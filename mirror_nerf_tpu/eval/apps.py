@@ -489,7 +489,13 @@ class AppContext:
                        else ("coarse" if cfg.N_importance > 0 else "none")),
             fused_field=getattr(args, "fused_field", False),
             proposal_drop=getattr(args, "proposal_drop_levels", 0),
+            proposal_skip=getattr(args, "proposal_skip", False),
         )
+        if getattr(args, "proposal_skip", False) and getattr(
+                args, "render_coarse_rgb", False):
+            raise ValueError(
+                "--proposal_skip renders no coarse pass; drop "
+                "--render_coarse_rgb")
         if getattr(args, "proposal_drop_levels", 0) and not (
                 getattr(args, "fused_field", False)
                 and cfg.model_type == "nerf_tpu"):

@@ -78,6 +78,15 @@ class RenderSettings:
     # weights only shape the fine-sample PDF). The finest level is ~61% of
     # encoder FLOPs; quality gate on the champion checkpoint in BASELINE.md.
     proposal_drop: int = 0
+    # proposal-SKIP (eval-only): drop the coarse σ-only proposal pass
+    # entirely and spend N_samples+N_importance stratified samples in one
+    # fine pass. Motivated by measurement (BASELINE.md round 4): champion
+    # CP-grid checkpoints train with a diverged coarse field (psnr_coarse
+    # ≈ 4.9 — the grid-lr divergence signature), so the importance PDF is
+    # effectively uniform and the proposal pass is pure FLOP waste.
+    # Quality-gated per checkpoint; only engages on test_time renders with
+    # a fine pass.
+    proposal_skip: bool = False
 
     @property
     def has_fine(self) -> bool:
@@ -446,6 +455,26 @@ def render_rays(
         gt_mask_valid = jnp.all(mirror_mask_gt >= 0)
 
     k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)
+
+    if rs.proposal_skip and rs.has_fine and rs.test_time:
+        # proposal-skip: no coarse pass; one fine pass on
+        # N_samples+N_importance stratified samples (see RenderSettings).
+        z_all = stratified_z_vals(
+            k_perturb, near, far, rs.N_samples + rs.N_importance,
+            rs.use_disp, rs.perturb)
+        xyz_all = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
+        results = {}
+        typ = "coarse" if rs.fine_pass == "coarse" else "fine"
+        p_fine = params["coarse" if rs.fine_pass == "coarse" else "fine"]
+        _inference(
+            field, p_fine, typ, xyz_all, z_all, dirs, k_noise_f, rs,
+            results, False, mirror_mask_gt, gt_mask_valid,
+            ray_o=rays_o, ray_d=rays_d,
+        )
+        if f"depth_{typ}" in results:
+            results[f"x_surface_{typ}"] = (
+                rays_o + rays_d * results[f"depth_{typ}"][:, None])
+        return results
 
     z_vals = stratified_z_vals(
         k_perturb, near, far, rs.N_samples, rs.use_disp, rs.perturb

@@ -200,6 +200,7 @@ class Trainer:
                     prefixes_to_ignore=cfg.prefixes_to_ignore), rep)
 
         self._step_cache = {}
+        self._keystack_cache = {}
         self._metrics_path = os.path.join(workdir, "metrics.jsonl")
 
     # ---- compiled step construction ----
@@ -351,6 +352,21 @@ class Trainer:
             donate_argnums=(0, 1),
         )
 
+    def _key_stack_fn(self, k: int):
+        """Jitted (base_key, step0) -> (k, 2) stack of
+        fold_in(base_key, step0 + j) keys; bitwise-identical to the eager
+        per-key loop it replaces, in ONE device dispatch instead of k+1."""
+        fn = self._keystack_cache.get(k)
+        if fn is None:
+            def build(base, s0):
+                return jax.vmap(
+                    lambda j: jax.random.fold_in(base, s0 + j)
+                )(jnp.arange(k, dtype=jnp.int32))
+
+            fn = jax.jit(build)
+            self._keystack_cache[k] = fn
+        return fn
+
     def get_multi_step_fn(self, statics: EpochStatics, k: int):
         ck = statics.key() + ("multi", k)
         if ck not in self._step_cache:
@@ -418,9 +434,12 @@ class Trainer:
                     "mirror_mask": jax.device_put(
                         b_masks.reshape(k, cfg.batch_size), blk),
                 }
-                rng = jnp.stack([
-                    jax.random.fold_in(self.base_key, self.global_step + j)
-                    for j in range(k)])
+                # one jitted call builds all K fold_in keys on device —
+                # the eager per-key version was K+1 dispatches (tunnel
+                # round-trips) per K-step dispatch (measured host overhead,
+                # BASELINE.md round 4). Bitwise-identical keys.
+                rng = self._key_stack_fn(k)(
+                    self.base_key, jnp.int32(self.global_step))
             self.params, self.opt_state, aux = fn(
                 self.params, self.opt_state, batch, rng)
             self.global_step += k

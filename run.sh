@@ -82,5 +82,7 @@ case "$MODE" in
         --decay_step ${DECAY:-2 4 8} --decay_gamma 0.5 --chunk 8192 \
         --train_geometry_stage --use_plane_consistent_loss \
         --only_trace_rays_in_mirrors --train_skip_step 1 \
+        --novel_ray_batch 512 --novel_pose_jitter 0.2 \
+        --novel_ray_loss_weight 3e-3 --novel_ray_start_epoch 4 \
         --val_idx "${VAL_IDX:-0}" --exp_name "$EXP" ;;
 esac

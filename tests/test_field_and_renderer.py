@@ -370,3 +370,58 @@ class TestFp32SigmaGradFusedRouting:
         np.testing.assert_allclose(np.asarray(out["normal_fine"]),
                                    np.asarray(ref["normal_fine"]),
                                    atol=1e-4, rtol=1e-3)
+
+
+class TestProposalSkip:
+    """--proposal_skip: no coarse σ-only proposal; N_samples+N_importance
+    stratified samples in ONE fine pass (round-4 lever: the champion's
+    trained coarse proposal is diverged, so its PDF is uniform noise and
+    the pass is pure FLOP waste — BASELINE.md round 4)."""
+
+    def _rs(self, **kw):
+        base = dict(N_samples=8, N_importance=8, use_disp=False, perturb=0.0,
+                    noise_std=0.0, white_back=False, test_time=True,
+                    compute_normal=False, fine_pass="fine")
+        base.update(kw)
+        return RenderSettings(**base)
+
+    def test_fine_only_keys_and_sample_count(self, field, params):
+        rays = _make_rays(16)
+        out = render_rays(field, params, rays, jax.random.PRNGKey(0),
+                          self._rs(proposal_skip=True))
+        assert "rgb_fine" in out and "x_surface_fine" in out
+        assert not any(k.endswith("_coarse") for k in out)
+        assert out["z_vals_fine"].shape == (16, 16)  # 8 + 8 in one pass
+
+    def test_no_op_without_fine_or_at_train_time(self, field, params):
+        rays = _make_rays(8)
+        # train-time (test_time=False): skip must NOT engage
+        out = render_rays(field, params, rays, jax.random.PRNGKey(0),
+                          self._rs(proposal_skip=True, test_time=False))
+        assert "rgb_coarse" in out
+        # no fine pass configured: skip must NOT engage
+        out = render_rays(
+            field, {"coarse": params["coarse"]}, rays, jax.random.PRNGKey(0),
+            self._rs(proposal_skip=True, N_importance=0, fine_pass="none"))
+        assert "rgb_coarse" in out
+
+    def test_matches_uniform_pdf_statistics(self, field, params):
+        """With a DEAD proposal (σ≈0 ⇒ all-zero coarse weights ⇒ uniform
+        importance PDF), skip and no-skip agree closely: both are ~uniform
+        placements of the same total sample count through the same field."""
+        rays = _make_rays(32, near=0.5, far=3.0)
+        k = jax.random.PRNGKey(3)
+        ref = render_rays(field, params, rays, k, self._rs())
+        got = render_rays(field, params, rays, k, self._rs(proposal_skip=True))
+        # the random-init field has near-zero σ, so both PDFs are ~uniform;
+        # placements differ (merged vs stratified) but the render agrees
+        np.testing.assert_allclose(np.asarray(got["rgb_fine"]),
+                                   np.asarray(ref["rgb_fine"]), atol=5e-2)
+
+    def test_tracer_end_to_end(self, field, params, rng):
+        rays = _make_rays(8)
+        ts = TraceSettings(render=self._rs(proposal_skip=True),
+                           trace_secondary_rays=True, max_recursive_level=1,
+                           only_trace_mode="eval", is_eval=True)
+        out = trace_rays(field, params, rays, jnp.ones((8,)), rng, ts)
+        assert out["rgb_fine"].shape == (8, 3)

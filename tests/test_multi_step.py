@@ -109,3 +109,17 @@ def test_multi_step_on_mesh(scene, tmp_path):
     tr = Trainer(cfg, ds, str(tmp_path / "mesh"), mesh=get_mesh())
     aux = tr.run_epoch(0, np.random.default_rng(0))
     assert np.isfinite(aux["loss"])
+
+
+def test_key_stack_matches_eager_fold_in(scene, tmp_path):
+    """The one-dispatch key stack (round 4 host-overhead fix) is
+    bitwise-identical to the eager per-key fold_in loop it replaced."""
+    cfg = _cfg(scene, steps_per_dispatch=4)
+    ds = BlenderDataset(scene, "train", (16, 16), cfg)
+    tr = Trainer(cfg, ds, workdir=str(tmp_path), mesh=None)
+    for s0 in (0, 1, 12345):
+        tr.global_step = s0
+        got = tr._key_stack_fn(4)(tr.base_key, jnp.int32(s0))
+        want = jnp.stack([jax.random.fold_in(tr.base_key, s0 + j)
+                          for j in range(4)])
+        assert (np.asarray(got) == np.asarray(want)).all()

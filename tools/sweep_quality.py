@@ -53,8 +53,13 @@ def run_arm(arm: dict, results_path: str) -> None:
     name = arm["name"]
     epochs = int(arm.get("epochs", 12))
     decay = arm.get("decay_step", ["4", "8", "12"])
+    # Per-arm overrides (paper-protocol runs use a different scene/model):
+    # "data_flags"/"model_flags" replace the dense-ring defaults wholesale.
+    data_flags = [str(f) for f in arm.get("data_flags", DATA_FLAGS)]
+    model_flags = [str(f) for f in arm.get("model_flags", MODEL_FLAGS)]
+    base_train = [str(f) for f in arm.get("base_train_flags", TRAIN_FLAGS)]
     train_cmd = (
-        [sys.executable, "train.py"] + DATA_FLAGS + MODEL_FLAGS + TRAIN_FLAGS
+        [sys.executable, "train.py"] + data_flags + model_flags + base_train
         + ["--num_epochs", str(epochs), "--decay_step"] + [str(d) for d in decay]
         + [str(f) for f in arm.get("train_flags", [])]
         + ["--exp_name", f"sweep_{name}"])
@@ -77,7 +82,7 @@ def run_arm(arm: dict, results_path: str) -> None:
     # eval held-out: unfused then fused
     for tag, extra in (("psnr_unfused", []), ("psnr_fused", ["--fused_field"])):
         ev_cmd = (
-            [sys.executable, "eval.py"] + DATA_FLAGS + MODEL_FLAGS + EVAL_FLAGS
+            [sys.executable, "eval.py"] + data_flags + model_flags + EVAL_FLAGS
             + [str(f) for f in arm.get("train_flags", [])]
             + [str(f) for f in arm.get("eval_flags", [])] + extra
             + ["--ckpt_path", ckpt, "--exp_name", f"eval_sweep_{name}_{tag}"])
