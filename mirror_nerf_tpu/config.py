@@ -57,6 +57,11 @@ class Config:
     # lr (0.02 vs 1e-3); the reference gets the same effect from tcnn's
     # internal scaling. 1.0 = off (exact legacy trajectory).
     grid_lr_mult: float = 1.0
+    # COARSE-field grid lr multiplier (None = same as grid_lr_mult). At
+    # grid_lr_mult 20 the coarse proposal field diverges while the fine
+    # field thrives (BASELINE.md round 4); a tamer coarse grid keeps the
+    # proposal live.
+    coarse_grid_lr_mult: float = None
     lr_scheduler: str = "steplr"  # steplr | cosine | poly
     warmup_multiplier: float = 1.0
     warmup_epochs: int = 0
@@ -204,6 +209,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=d.weight_decay)
     p.add_argument("--adam_eps", type=float, default=d.adam_eps)
     p.add_argument("--grid_lr_mult", type=float, default=d.grid_lr_mult)
+    p.add_argument("--coarse_grid_lr_mult", type=float,
+                   default=d.coarse_grid_lr_mult)
     p.add_argument("--lr_scheduler", type=str, default=d.lr_scheduler,
                    choices=["steplr", "cosine", "poly"])
     p.add_argument("--warmup_multiplier", type=float, default=d.warmup_multiplier)

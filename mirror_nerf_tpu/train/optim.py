@@ -103,15 +103,25 @@ def lookahead(inner: optax.GradientTransformation, sync_period: int = 6,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def scale_grid_updates(mult: float) -> optax.GradientTransformation:
+def scale_grid_updates(mult: float,
+                       coarse_mult: float = None) -> optax.GradientTransformation:
     """Per-group lr: scale updates of the encoder grid subtree
     (any leaf whose pytree path contains a dict key 'grid').
 
     Chained AFTER the base optimizer this multiplies the final (already
     lr-scaled) step, i.e. an exact per-group lr — the TensoRF/NGP recipe
     of training grid tables 20-40x hotter than the MLP heads.
+
+    `coarse_mult` (default: same as `mult`) applies to the COARSE field's
+    grid instead. Measured rationale (BASELINE.md round 4): at
+    grid_lr_mult 20 the fine field rides the stability edge to 36 dB but
+    the coarse field — identical config, trained only on stratified
+    64-sample batches — diverges (psnr_coarse ≈ 4.9), leaving a dead
+    proposal. A tamer coarse grid lr keeps the proposal alive.
     """
     import jax
+
+    cm = mult if coarse_mult is None else coarse_mult
 
     def init_fn(params):
         del params
@@ -121,8 +131,11 @@ def scale_grid_updates(mult: float) -> optax.GradientTransformation:
         del params
 
         def scale(path, u):
-            in_grid = any(getattr(k, "key", None) == "grid" for k in path)
-            return u * mult if in_grid else u
+            if not any(getattr(k, "key", None) == "grid" for k in path):
+                return u
+            in_coarse = any(getattr(k, "key", None) == "coarse"
+                            for k in path)
+            return u * (cm if in_coarse else mult)
 
         return jax.tree_util.tree_map_with_path(scale, updates), state
 
@@ -148,6 +161,7 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     mult = getattr(cfg, "grid_lr_mult", 1.0)
-    if mult != 1.0:
-        tx = optax.chain(tx, scale_grid_updates(mult))
+    cmult = getattr(cfg, "coarse_grid_lr_mult", None)
+    if mult != 1.0 or (cmult is not None and cmult != 1.0):
+        tx = optax.chain(tx, scale_grid_updates(mult, cmult))
     return tx

@@ -162,6 +162,41 @@ class TestOptimizers:
         m_hot = np.asarray(outs["hot"]["coarse"]["sigma_net"][0]["w"])
         np.testing.assert_allclose(m_hot, m_base, rtol=0)
 
+    def test_coarse_grid_lr_mult_splits_fields(self):
+        """--coarse_grid_lr_mult gives the COARSE field's grid its own lr
+        multiplier (round-4 dead-proposal fix) while the fine grid keeps
+        grid_lr_mult and non-grid leaves stay exact."""
+        import jax
+        import jax.numpy as jnp
+
+        from mirror_nerf_tpu.train.optim import make_optimizer
+
+        base = Config(optimizer="adam", lr=1e-3, num_epochs=4,
+                      decay_step=(2,), decay_gamma=0.5)
+        split = Config(optimizer="adam", lr=1e-3, num_epochs=4,
+                       decay_step=(2,), decay_gamma=0.5, grid_lr_mult=8.0,
+                       coarse_grid_lr_mult=2.0)
+        params = {
+            "coarse": {"grid": {"axes": [jnp.ones((4, 2))]},
+                       "sigma_net": [{"w": jnp.ones((2, 2))}]},
+            "fine": {"grid": {"axes": [jnp.ones((4, 2))]}},
+        }
+        grads = jax.tree.map(lambda p: 0.5 * jnp.ones_like(p), params)
+        outs = {}
+        for name, cfg in (("base", base), ("split", split)):
+            tx = make_optimizer(cfg, steps_per_epoch=10)
+            upd, _ = tx.update(grads, tx.init(params), params)
+            outs[name] = upd
+        gc_b = np.asarray(outs["base"]["coarse"]["grid"]["axes"][0])
+        gc_s = np.asarray(outs["split"]["coarse"]["grid"]["axes"][0])
+        gf_b = np.asarray(outs["base"]["fine"]["grid"]["axes"][0])
+        gf_s = np.asarray(outs["split"]["fine"]["grid"]["axes"][0])
+        np.testing.assert_allclose(gc_s, 2.0 * gc_b, rtol=1e-6)
+        np.testing.assert_allclose(gf_s, 8.0 * gf_b, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(outs["split"]["coarse"]["sigma_net"][0]["w"]),
+            np.asarray(outs["base"]["coarse"]["sigma_net"][0]["w"]), rtol=0)
+
     def test_adam_eps_flag_changes_update(self):
         import jax.numpy as jnp
 

@@ -79,8 +79,10 @@ def run_arm(arm: dict, results_path: str) -> None:
            "train_minutes": round(train_s / 60, 1),
            "epochs": epochs, "decay": decay,
            "train_flags": arm.get("train_flags", [])}
-    # eval held-out: unfused then fused
-    for tag, extra in (("psnr_unfused", []), ("psnr_fused", ["--fused_field"])):
+    # eval held-out: unfused, fused, fused+proposal_skip (round-4 lever)
+    for tag, extra in (("psnr_unfused", []), ("psnr_fused", ["--fused_field"]),
+                       ("psnr_fused_skip",
+                        ["--fused_field", "--proposal_skip"])):
         ev_cmd = (
             [sys.executable, "eval.py"] + data_flags + model_flags + EVAL_FLAGS
             + [str(f) for f in arm.get("train_flags", [])]
