@@ -205,3 +205,22 @@ def test_eval_spmd_matches_single_device(scene, ckpt, tmp_path):
     p1 = json.load(open(os.path.join(b1, d1, "psnr.json")))
     p8 = json.load(open(os.path.join(b8, d8, "psnr.json")))
     assert abs(p1["mean_psnr"] - p8["mean_psnr"]) < 1e-3
+
+
+@pytest.mark.slow
+def test_eval_proposal_skip_flag(scene, ckpt, tmp_path):
+    """--proposal_skip renders the full output tree with no coarse pass
+    (round-4 lever; renderer-level semantics in
+    test_field_and_renderer.TestProposalSkip)."""
+    dir_name, base = _run_eval(scene, ckpt, tmp_path,
+                               extra=("--proposal_skip",))
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+    assert os.path.exists(os.path.join(out, "psnr.json"))
+
+
+@pytest.mark.slow
+def test_eval_proposal_skip_rejects_coarse_rgb(scene, ckpt, tmp_path):
+    with pytest.raises(ValueError, match="proposal_skip"):
+        _run_eval(scene, ckpt, tmp_path,
+                  extra=("--proposal_skip", "--render_coarse_rgb"))
