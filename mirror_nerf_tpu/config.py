@@ -62,6 +62,13 @@ class Config:
     # field thrives (BASELINE.md round 4); a tamer coarse grid keeps the
     # proposal live.
     coarse_grid_lr_mult: float = None
+    # TPU-first single-pass training: skip the coarse proposal pass and
+    # train ONE fine pass on N_samples+N_importance stratified samples per
+    # ray. Measured rationale (BASELINE.md round 4): for the CP-grid model
+    # the trained proposal is dead weight — eval with --proposal_skip is
+    # +0.7 dB AND 1.49x. Cuts ~1/3 of train sample FLOPs; coarse losses
+    # vanish by key absence. Off by default (reference trajectory).
+    train_proposal_skip: bool = False
     lr_scheduler: str = "steplr"  # steplr | cosine | poly
     warmup_multiplier: float = 1.0
     warmup_epochs: int = 0
@@ -211,6 +218,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--grid_lr_mult", type=float, default=d.grid_lr_mult)
     p.add_argument("--coarse_grid_lr_mult", type=float,
                    default=d.coarse_grid_lr_mult)
+    p.add_argument("--train_proposal_skip", default=d.train_proposal_skip,
+                   action="store_true")
     p.add_argument("--lr_scheduler", type=str, default=d.lr_scheduler,
                    choices=["steplr", "cosine", "poly"])
     p.add_argument("--warmup_multiplier", type=float, default=d.warmup_multiplier)

@@ -84,8 +84,8 @@ class RenderSettings:
     # CP-grid checkpoints train with a diverged coarse field (psnr_coarse
     # ≈ 4.9 — the grid-lr divergence signature), so the importance PDF is
     # effectively uniform and the proposal pass is pure FLOP waste.
-    # Quality-gated per checkpoint; only engages on test_time renders with
-    # a fine pass.
+    # Quality-gated per checkpoint. Also usable at TRAIN time
+    # (--train_proposal_skip): one field pass per step, no coarse losses.
     proposal_skip: bool = False
 
     @property
@@ -456,9 +456,12 @@ def render_rays(
 
     k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)
 
-    if rs.proposal_skip and rs.has_fine and rs.test_time:
+    if rs.proposal_skip and rs.has_fine:
         # proposal-skip: no coarse pass; one fine pass on
         # N_samples+N_importance stratified samples (see RenderSettings).
+        # Engages only when the caller sets it: eval via --proposal_skip,
+        # training via --train_proposal_skip (the TPU-first single-pass
+        # mode — losses skip their coarse terms by key absence).
         z_all = stratified_z_vals(
             k_perturb, near, far, rs.N_samples + rs.N_importance,
             rs.use_disp, rs.perturb)

@@ -75,6 +75,7 @@ def make_trace_settings(cfg, epoch: int, geometry_stage: bool,
         detach_density_for_normal_loss=cfg.detach_density_for_normal_loss,
         fused_density=fused_density,
         fp32_sigma_grad=cfg.fp32_sigma_grad,
+        proposal_skip=getattr(cfg, "train_proposal_skip", False),
     )
     return TraceSettings(
         render=rs,
@@ -283,9 +284,10 @@ class Trainer:
                 typ = "fine" if f"rgb_fine" in results else "coarse"
                 aux = {
                     "psnr": psnr_fn(results[f"rgb_{typ}"], rgbs),
-                    "psnr_coarse": psnr_fn(results["rgb_coarse"], rgbs),
                     **{k: v for k, v in loss_dict.items()},
                 }
+                if "rgb_coarse" in results:  # absent under proposal_skip
+                    aux["psnr_coarse"] = psnr_fn(results["rgb_coarse"], rgbs)
                 if "compact_dropped" in results:
                     # secondary-ray compaction overflow guard (the measured
                     # 7.6 dB footgun, STATUS.md r2) — checked host-side at

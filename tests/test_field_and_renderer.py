@@ -393,17 +393,35 @@ class TestProposalSkip:
         assert not any(k.endswith("_coarse") for k in out)
         assert out["z_vals_fine"].shape == (16, 16)  # 8 + 8 in one pass
 
-    def test_no_op_without_fine_or_at_train_time(self, field, params):
+    def test_no_op_without_fine_pass(self, field, params):
         rays = _make_rays(8)
-        # train-time (test_time=False): skip must NOT engage
-        out = render_rays(field, params, rays, jax.random.PRNGKey(0),
-                          self._rs(proposal_skip=True, test_time=False))
-        assert "rgb_coarse" in out
         # no fine pass configured: skip must NOT engage
         out = render_rays(
             field, {"coarse": params["coarse"]}, rays, jax.random.PRNGKey(0),
             self._rs(proposal_skip=True, N_importance=0, fine_pass="none"))
         assert "rgb_coarse" in out
+
+    def test_train_time_single_pass(self, field, params):
+        """--train_proposal_skip: at train time (perturb/noise on) the
+        single-pass branch engages, emits fine-only keys, and is
+        differentiable."""
+        rays = _make_rays(8)
+        rs = self._rs(proposal_skip=True, test_time=False, perturb=1.0,
+                      noise_std=1.0)
+        out = render_rays(field, params, rays, jax.random.PRNGKey(0), rs)
+        assert "rgb_fine" in out and "rgb_coarse" not in out
+        assert out["z_vals_fine"].shape == (8, 16)
+
+        def loss(p):
+            r = render_rays(field, p, rays, jax.random.PRNGKey(0), rs)
+            return jnp.mean(r["rgb_fine"] ** 2)
+
+        g = jax.grad(loss)(params)
+        gf = jax.tree_util.tree_leaves(g["fine"])
+        assert any(float(jnp.abs(x).max()) > 0 for x in gf)
+        # the coarse tower gets NO gradient — it is out of the graph
+        gc = jax.tree_util.tree_leaves(g["coarse"])
+        assert all(float(jnp.abs(x).max()) == 0 for x in gc)
 
     def test_matches_uniform_pdf_statistics(self, field, params):
         """With a DEAD proposal (σ≈0 ⇒ all-zero coarse weights ⇒ uniform

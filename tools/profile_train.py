@@ -62,6 +62,8 @@ def main(argv=None):
                         "mask/plane losses)")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--fp32_sigma_grad", action="store_true")
+    p.add_argument("--train_proposal_skip", action="store_true",
+                   help="single-pass training (no coarse proposal)")
     p.add_argument("--fused_train", type=str, default="auto",
                    choices=["auto", "on", "off"])
     p.add_argument("--trace_out", type=str, default="",
@@ -91,6 +93,7 @@ def main(argv=None):
         lr=5e-4, compute_dtype=args.compute_dtype,
         fp32_sigma_grad=args.fp32_sigma_grad,
         fused_train=args.fused_train,
+        train_proposal_skip=args.train_proposal_skip,
     )
     rng = np.random.default_rng(0)
     ds = _FakeDataset(args.batch * 4, rng)
