@@ -37,6 +37,13 @@ DATA_FLAGS=(--dataset_name "$DATASET_NAME" --root_dir "$DATA_DIR"
             --img_wh "$IMG_W" "$IMG_H")
 EVAL_FLAGS=("${DATA_FLAGS[@]}" "${MODEL_FLAGS[@]}" --N_importance 64
             --ckpt_path "$CKPT" --chunk 16384 --val_idx "${VAL_IDX:-0}")
+# production eval path for the CP-grid model: fused Pallas kernels, and
+# (opt-in, quality-gate per checkpoint — BASELINE.md round 4) the
+# proposal-skip schedule: PROPOSAL_SKIP=1 bash run.sh 1
+if [ "$MODEL_TYPE" = nerf_tpu ]; then
+  EVAL_FLAGS+=(--fused_field)
+  [ -n "${PROPOSAL_SKIP:-}" ] && EVAL_FLAGS+=(--proposal_skip)
+fi
 
 case "$MODE" in
   1)  python eval.py "${EVAL_FLAGS[@]}" --split "${SPLIT:-test}" \
