@@ -50,6 +50,12 @@ def main(argv=None):
     # reference-shaped 64-proposal + 128-fine schedule.
     p.add_argument("--proposal_skip", default=True,
                    action=argparse.BooleanOptionalAction)
+    # Stratified sample budget of the proposal-skip fine pass (total =
+    # N_samples + N_importance, reference eval config 64+64). An eval-time
+    # speed/quality knob: any reduction below 128 must be quality-gated on
+    # a trained checkpoint (BASELINE.md) before becoming a default.
+    p.add_argument("--N_samples", type=int, default=64)
+    p.add_argument("--N_importance", type=int, default=64)
     args = p.parse_args(argv)
 
     import jax
@@ -95,7 +101,8 @@ def main(argv=None):
         "coarse": field.init(jax.random.PRNGKey(0)),
         "fine": field.init(jax.random.PRNGKey(1)),
     }
-    rs = RenderSettings(N_samples=64, N_importance=64, perturb=0.0,
+    rs = RenderSettings(N_samples=args.N_samples,
+                        N_importance=args.N_importance, perturb=0.0,
                         noise_std=0.0, test_time=True, compute_normal=False,
                         fine_pass="fine",
                         fused_field=args.model in ("nerf", "nerf_tpu"),

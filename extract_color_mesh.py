@@ -110,7 +110,8 @@ def main(argv=None):
         rays = make_ray_buffer(rays_o.astype(np.float32),
                                normals.astype(np.float32), bounds_min,
                                bounds_max)
-        rs = RenderSettings(N_samples=cfg.N_samples,
+        rs = RenderSettings(sigma_activation=cfg.sigma_activation,
+                    N_samples=cfg.N_samples,
                             N_importance=cfg.N_importance, perturb=0.0,
                             noise_std=0.0, test_time=True,
                             compute_normal=False, fine_pass="fine"
@@ -132,7 +133,8 @@ def main(argv=None):
         verts_homo = np.concatenate([verts, np.ones((n_v, 1))], 1)
         non_occluded_sum = np.zeros((n_v, 1))
         v_color_sum = np.zeros((n_v, 3))
-        rs = RenderSettings(N_samples=cfg.N_samples, N_importance=0,
+        rs = RenderSettings(sigma_activation=cfg.sigma_activation,
+                    N_samples=cfg.N_samples, N_importance=0,
                             perturb=0.0, noise_std=0.0, test_time=False,
                             compute_normal=False, fine_pass="none")
         ts = TraceSettings(render=rs, trace_secondary_rays=False,

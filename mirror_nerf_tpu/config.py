@@ -178,6 +178,14 @@ class Config:
     # density pass in fp32. Probes whether bf16 training's measured ~2 dB
     # held-out loss (STATUS.md round 2) is quantized normal supervision.
     fp32_sigma_grad: bool = False
+    # σ -> density nonlinearity ("relu" | "softplus"). "relu" is the
+    # reference semantics (rendering.py:189-192); "softplus" has no
+    # zero-gradient dead region — the principled fix for the ReLU-death
+    # basin that freezes hot-lr CP-grid coarse proposals in epoch 0
+    # (BASELINE.md round 4). Applies to training AND eval compositing
+    # (unfused + fused kernels); a checkpoint must be eval'd with the
+    # activation it trained with.
+    sigma_activation: str = "relu"
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
@@ -303,6 +311,8 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default=d.compute_dtype)
     p.add_argument("--fp32_sigma_grad", action="store_true",
                    default=d.fp32_sigma_grad)
+    p.add_argument("--sigma_activation", type=str, default=d.sigma_activation,
+                   choices=["relu", "softplus"])
     return p
 
 

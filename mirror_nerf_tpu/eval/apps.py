@@ -490,6 +490,7 @@ class AppContext:
             fused_field=getattr(args, "fused_field", False),
             proposal_drop=getattr(args, "proposal_drop_levels", 0),
             proposal_skip=getattr(args, "proposal_skip", False),
+            sigma_activation=getattr(cfg, "sigma_activation", "relu"),
         )
         if getattr(args, "proposal_skip", False) and getattr(
                 args, "render_coarse_rgb", False):

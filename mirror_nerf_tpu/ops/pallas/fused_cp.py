@@ -78,6 +78,9 @@ class CPFusedSpec:
     #          per-element basis build is 3 VPU passes, and values stay in
     #          [0, 1] (bf16-safe)
     basis: str = "hat"
+    # σ -> density nonlinearity in the in-kernel compositing ("relu" |
+    # "softplus"); see renderer.sigma_activation
+    sigma_act: str = "relu"
     # "bfloat16" on TPU; "float32" in interpret mode (XLA:CPU cannot execute
     # large bf16 DotThunks: "Unsupported element type ... BF16 x BF16 = F32")
     dtype: str = "bfloat16"
@@ -320,6 +323,15 @@ def _kernel(spec: CPFusedSpec, names, x_ref, d_ref, *w_refs):
         out_ref[0] = rows
 
 
+def _act_density(sigma, act: str):
+    """In-kernel σ -> density nonlinearity (fp32 VPU ops only; `log1p`/`exp`
+    lower in Mosaic). Stable softplus: max(x,0) + log(1 + exp(-|x|))."""
+    if act == "softplus":
+        return (jnp.maximum(sigma, 0.0)
+                + jnp.log(1.0 + jnp.exp(-jnp.abs(sigma))))
+    return jnp.maximum(sigma, 0.0)
+
+
 def _kernel_composite(spec: CPFusedSpec, names, x_ref, d_ref, z_ref, dl_ref,
                       *refs):
     """Composite mode: per-ray output + per-sample weights (see
@@ -337,7 +349,7 @@ def _kernel_composite(spec: CPFusedSpec, names, x_ref, d_ref, z_ref, dl_ref,
     # it replaced ran at 1/128 MXU row utilization — fused_mlp_t._prefix_weights)
     from .fused_mlp_t import _prefix_weights
 
-    sd = dl_ref[0] * jnp.maximum(sigma, 0.0)  # (1, L)
+    sd = dl_ref[0] * _act_density(sigma, spec.sigma_act)  # (1, L)
     wts = _prefix_weights(sd, spec.samples)
     wts_ref[0] = wts
     if spec.sigma_only:
@@ -399,7 +411,7 @@ def _kernel_composite_rays(spec: CPFusedSpec, names, od_ref, z_ref, *refs):
     # left-by-1 == right-by-(lanes-1)); the wrapped lane is masked to 1e10
     dl = jnp.where(pos == spec.samples - 1, 1e10,
                    pltpu.roll(z, lanes - 1, 1) - z)
-    sd = dl * jnp.maximum(sigma, 0.0)
+    sd = dl * _act_density(sigma, spec.sigma_act)
     wts = sd if spec.ablate == "io_noscan" else _prefix_weights(
         sd, spec.samples)
     wts_ref[0] = wts
@@ -542,7 +554,8 @@ def fused_cp_forward_composite(packed: dict, x3, d3, z_row, dl_row,
 def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
                             z_vals, sigma_only: bool = False,
                             interpret: bool = None, lanes: int = None,
-                            drop_levels: int = 0):
+                            drop_levels: int = 0,
+                            sigma_act: str = "relu"):
     """Composite-mode adapter (same contract as
     fused_mlp_t.fused_t_rays_eval): weights (N, S) always; plus per-ray
     opacity/rgb/normal/mirror/depth unless sigma_only. Eval semantics
@@ -572,7 +585,7 @@ def fused_cp_rays_composite(field, params: dict, rays_o, rays_d, view_dirs,
         dtype="float32" if interpret else "bfloat16",
         lanes=lanes, samples=s,
         basis=os.environ.get("MNERF_CP_BASIS", "hat"),
-        ray_inputs=ray_inputs,
+        ray_inputs=ray_inputs, sigma_act=sigma_act,
     )
     rpb = spec.rays_per_block
     n_pad = (n + rpb - 1) // rpb * rpb

@@ -66,6 +66,9 @@ class TSpec:
     predict_mirror_mask: bool = True
     lanes: int = LANES
     dtype: str = "bfloat16"
+    # σ -> density nonlinearity in the in-kernel compositing ("relu" |
+    # "softplus"); see renderer.sigma_activation
+    sigma_act: str = "relu"
 
     @property
     def jdtype(self):
@@ -295,7 +298,9 @@ def _kernel(spec: TSpec, names, x_ref, d_ref, z_ref, dl_ref, *refs):
 
     # in-kernel compositing: sd = δ·relu(σ); per-ray exclusive prefix via
     # the segmented roll scan (see _prefix_weights)
-    sd = dl_ref[0] * jnp.maximum(sigma, 0.0)  # (1, L) fp32
+    from .fused_cp import _act_density
+
+    sd = dl_ref[0] * _act_density(sigma, spec.sigma_act)  # (1, L) fp32
     wts = _prefix_weights(sd, spec.samples)  # (1, L)
     wts_ref[0] = wts
 
@@ -411,7 +416,8 @@ def _axis_blocks(comps, lanes):
 
 
 def fused_t_rays_eval(field, params, rays_o, rays_d, view_dirs, z_vals,
-                      sigma_only: bool = False, interpret: bool = None):
+                      sigma_only: bool = False, interpret: bool = None,
+                      sigma_act: str = "relu"):
     """Ray-mode adapter with in-kernel compositing.
 
     Returns a dict: weights (N, S) always; plus per-ray opacity (N,),
@@ -431,7 +437,8 @@ def fused_t_rays_eval(field, params, rays_o, rays_d, view_dirs, z_vals,
                  predict_normal=field.predict_normal,
                  predict_mirror_mask=field.predict_mirror_mask,
                  lanes=lanes,
-                 dtype="float32" if interpret else "bfloat16")
+                 dtype="float32" if interpret else "bfloat16",
+                 sigma_act=sigma_act)
     rpb = spec.rays_per_block
     n_pad = (n + rpb - 1) // rpb * rpb
     pad = ((0, n_pad - n), (0, 0))

@@ -87,18 +87,35 @@ class RenderSettings:
     # Quality-gated per checkpoint. Also usable at TRAIN time
     # (--train_proposal_skip): one field pass per step, no coarse losses.
     proposal_skip: bool = False
+    # σ -> density nonlinearity used in compositing: "relu" (reference
+    # semantics, rendering.py:189-192) or "softplus" (no zero-gradient
+    # dead region — the principled fix for the ReLU-death proposal basin,
+    # BASELINE.md round 4). Applied to σ+noise; the σ-gradient normal uses
+    # ∇σ_raw either way (softplus' derivative is a positive scalar, so the
+    # normalized direction is identical).
+    sigma_activation: str = "relu"
 
     @property
     def has_fine(self) -> bool:
         return self.fine_pass != "none" and self.N_importance > 0
 
 
-def _composite_weights(sigmas, z_vals, noise):
+def sigma_activation(sigmas, act: str):
+    """Raw σ -> nonnegative density. "relu" is the reference semantics
+    (rendering.py:189-192). "softplus" removes the zero-gradient dead
+    region (the ReLU-death basin that froze the CP-grid coarse proposal,
+    BASELINE.md round 4) — the instant-NGP-family activation choice."""
+    if act == "softplus":
+        return jax.nn.softplus(sigmas)
+    return jax.nn.relu(sigmas)
+
+
+def _composite_weights(sigmas, z_vals, noise, act: str = "relu"):
     """α-compositing weights from raw σ (reference rendering.py:182-199)."""
     deltas = z_vals[:, 1:] - z_vals[:, :-1]
     delta_inf = jnp.full_like(deltas[:, :1], 1e10)
     deltas = jnp.concatenate([deltas, delta_inf], axis=-1)
-    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas + noise))
+    alphas = 1.0 - jnp.exp(-deltas * sigma_activation(sigmas + noise, act))
     shifted = jnp.concatenate(
         [jnp.ones_like(alphas[:, :1]), 1.0 - alphas + 1e-10], axis=-1
     )
@@ -233,7 +250,7 @@ def _inference(
 
     noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
              if rs.noise_std > 0 else jnp.zeros_like(sigmas))
-    weights = _composite_weights(sigmas, z_vals, noise)
+    weights = _composite_weights(sigmas, z_vals, noise, rs.sigma_activation)
     weights_sum = jnp.sum(weights, axis=-1)
 
     results[f"weights_{typ}"] = weights
@@ -297,7 +314,8 @@ def _inference_fused_t(field, params, typ, z_vals, dirs, rs, results,
     from ..ops.pallas.fused_mlp_t import fused_t_rays_eval
 
     res = fused_t_rays_eval(field, params, ray_o, ray_d, dirs, z_vals,
-                            sigma_only=sigma_only)
+                            sigma_only=sigma_only,
+                            sigma_act=rs.sigma_activation)
     weights = res["weights"]
     results[f"weights_{typ}"] = weights
     results[f"z_vals_{typ}"] = z_vals
@@ -332,7 +350,8 @@ def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
         # composite mode: weights + the per-ray render computed in-kernel
         res = fused_cp_rays_composite(field, params, ray_o, ray_d, dirs,
                                       z_vals, sigma_only=sigma_only,
-                                      drop_levels=drop)
+                                      drop_levels=drop,
+                                      sigma_act=rs.sigma_activation)
         weights = res["weights"]
         results[f"weights_{typ}"] = weights
         results[f"z_vals_{typ}"] = z_vals
@@ -356,7 +375,7 @@ def _inference_fused_cp(field, params, typ, z_vals, dirs, rng, rs, results,
     sigmas = res["sigma"]
     noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
              if rs.noise_std > 0 else jnp.zeros_like(sigmas))
-    weights = _composite_weights(sigmas, z_vals, noise)
+    weights = _composite_weights(sigmas, z_vals, noise, rs.sigma_activation)
     weights_sum = jnp.sum(weights, axis=-1)
     results[f"weights_{typ}"] = weights
     results[f"opacity_{typ}"] = weights_sum
@@ -413,7 +432,7 @@ def _inference_fused(field, params, typ, xyz, z_vals, dirs, rng, rs,
     sigmas = rows[:, 0].astype(jnp.float32).reshape(N, S)
     noise = (jax.random.normal(rng, sigmas.shape, sigmas.dtype) * rs.noise_std
              if rs.noise_std > 0 else jnp.zeros_like(sigmas))
-    weights = _composite_weights(sigmas, z_vals, noise)
+    weights = _composite_weights(sigmas, z_vals, noise, rs.sigma_activation)
     weights_sum = jnp.sum(weights, axis=-1)
     results[f"weights_{typ}"] = weights
     results[f"opacity_{typ}"] = weights_sum

@@ -76,6 +76,7 @@ def make_trace_settings(cfg, epoch: int, geometry_stage: bool,
         fused_density=fused_density,
         fp32_sigma_grad=cfg.fp32_sigma_grad,
         proposal_skip=getattr(cfg, "train_proposal_skip", False),
+        sigma_activation=getattr(cfg, "sigma_activation", "relu"),
     )
     return TraceSettings(
         render=rs,
@@ -267,7 +268,8 @@ class Trainer:
                     nv = cfg.novel_ray_loss_weight * novel_ray_regularization(
                         field, p, rays[:cfg.novel_ray_batch], k_novel,
                         cfg.N_samples, cfg.novel_pose_jitter,
-                        fused=ts.render.fused_density)
+                        fused=ts.render.fused_density,
+                        sigma_act=ts.render.sigma_activation)
                     loss = loss + nv
                     loss_dict["novel_ray_reg"] = nv
                 if cfg.cp_tv_loss_weight > 0 and cfg.model_type == "nerf_tpu":

@@ -200,7 +200,7 @@ def distortion_core(w: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
 
 def novel_ray_regularization(field, params: dict, rays: jnp.ndarray,
                              key, N_samples: int, jitter: float,
-                             fused: bool = False):
+                             fused: bool = False, sigma_act: str = "relu"):
     """Distortion prior along rays cast from JITTERED origins (no color
     target). Train-ray losses are blind to density in space no train ray
     traverses (the fog-floater failure mode, STATUS.md item 7); shifting the
@@ -226,7 +226,7 @@ def novel_ray_regularization(field, params: dict, rays: jnp.ndarray,
     else:
         sigma, _ = field.density(fine, xyz.reshape(-1, 3))
     w = _composite_weights(sigma.reshape(z.shape), z,
-                           jnp.zeros_like(z))
+                           jnp.zeros_like(z), sigma_act)
     return distortion_core(w, z)
 
 
