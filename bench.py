@@ -56,6 +56,12 @@ def main(argv=None):
     # a trained checkpoint (BASELINE.md) before becoming a default.
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=64)
+    # Reduced secondary-bounce (level >= 1) sample budget: -1 = inherit the
+    # primary budget. Static shapes make per-level budgets free on TPU (each
+    # recursion level is its own compiled program); quality-gated on the
+    # champion checkpoint (BASELINE.md) before becoming a default.
+    p.add_argument("--secondary_N_samples", type=int, default=-1)
+    p.add_argument("--secondary_N_importance", type=int, default=-1)
     args = p.parse_args(argv)
 
     import jax
@@ -109,9 +115,21 @@ def main(argv=None):
                         proposal_drop=(args.proposal_drop
                                        if args.model == "nerf_tpu" else 0),
                         proposal_skip=args.proposal_skip)
+    rs_sec = None
+    if args.secondary_N_samples >= 0 or args.secondary_N_importance >= 0:
+        from dataclasses import replace as _dc_replace
+
+        rs_sec = _dc_replace(
+            rs,
+            N_samples=(args.secondary_N_samples
+                       if args.secondary_N_samples >= 0 else args.N_samples),
+            N_importance=(args.secondary_N_importance
+                          if args.secondary_N_importance >= 0
+                          else args.N_importance))
     ts = TraceSettings(render=rs, trace_secondary_rays=True,
                        max_recursive_level=2, only_trace_mode="eval",
-                       is_eval=False, compact_frac=0.25, compact_level0=True)
+                       is_eval=False, compact_frac=0.25, compact_level0=True,
+                       secondary_render=rs_sec)
 
     # NOTE on methodology: on this TPU attachment, dispatch is asynchronous
     # and `block_until_ready` does not reliably synchronize; only a value

@@ -45,6 +45,14 @@ def get_opt(argv=None):
     # FLOP waste. Quality-gate per checkpoint before relying on it.
     parser.add_argument("--proposal_skip", default=False,
                         action="store_true")
+    # Reduced sample budget for secondary (bounce level >= 1) renders.
+    # Static-shape TPU knob: each recursion level is its own compiled
+    # program, so deeper bounces can legally run fewer samples (the
+    # reference renders every level at the full N_samples+N_importance).
+    # -1 = inherit the primary budget. Quality-gate per checkpoint
+    # (tools/gate_samples.py) before relying on a reduction.
+    parser.add_argument("--secondary_N_samples", type=int, default=-1)
+    parser.add_argument("--secondary_N_importance", type=int, default=-1)
     # chunks rendered per dispatch (lax.map); 0 = auto (4 on TPU, 1 on CPU).
     # Amortizes per-dispatch tunnel latency — measured 2.2x wall throughput
     # on the tunneled v5e attachment (BASELINE.md).

@@ -197,8 +197,14 @@ def eval_trace(
     normal_noise: Optional[jnp.ndarray] = None,  # (N, 3) roughness noise
     compact_frac: float = 1.0,
     compact_from_level: int = 1,
+    rs_secondary: Optional[RenderSettings] = None,
 ) -> dict:
     """One eval render level + (optionally) the traced reflection below it."""
+    if level > 0 and rs_secondary is not None:
+        # reduced secondary sample budget (static-shape TPU knob; see
+        # TraceSettings.secondary_render) — all bounces below level 0
+        # render with rs_secondary
+        rs = rs_secondary
     k_render, k_next = jax.random.split(jax.random.fold_in(rng, level))
     results = render_rays(field, params, rays, k_render, rs)
     sel = "fine" if rs.fine_pass == "fine" else "coarse"
@@ -261,11 +267,14 @@ def eval_trace(
             so = so * scale + jnp.asarray(translation, so.dtype)
             bundle = jnp.concatenate([so, sd, bundle[:, 6:8]], axis=-1)
             sf = subst_field.field if hasattr(subst_field, "field") else field
-            return render_rays(sf, subst_params, bundle, k_next, rs)
+            return render_rays(sf, subst_params, bundle, k_next,
+                               rs_secondary if rs_secondary is not None
+                               else rs)
         return eval_trace(
             field, params, bundle, k_next, rs, app, max_recursive_level,
             trace_secondary_rays, level + 1, subst_params, subst_field,
-            obj_render_fn, frame_time, None, compact_frac, compact_from_level)
+            obj_render_fn, frame_time, None, compact_frac, compact_from_level,
+            rs_secondary)
 
     n = rays.shape[0]
     compact = (compact_frac < 1.0 and level >= compact_from_level
@@ -325,6 +334,9 @@ class AppContext:
     params: dict
     rs: RenderSettings
     app: EvalAppFlags
+    # reduced secondary-bounce sample budget (None = same as rs); see
+    # eval.py --secondary_N_samples/--secondary_N_importance
+    rs_sec: Optional[RenderSettings] = None
     subst_field: object = None
     subst_params: Optional[dict] = None
     obj_render_fn: Optional[Callable] = None
@@ -386,7 +398,8 @@ class AppContext:
                         obj_render_fn=self.obj_render_fn,
                         frame_time=frame_time,
                         normal_noise=noise if has_noise else None,
-                        compact_frac=compact_frac, compact_from_level=1)
+                        compact_frac=compact_frac, compact_from_level=1,
+                        rs_secondary=self.rs_sec)
 
             if kblocks > 1:
                 base_fn = fn
@@ -427,7 +440,7 @@ class AppContext:
                 res = eval_trace(
                     self.field, params, bundle, key, self.rs, self.app,
                     cfg.max_recursive_level, cfg.trace_secondary_rays,
-                    level=1)
+                    level=1, rs_secondary=self.rs_sec)
                 return res[f"rgb_{sel}"]
 
             self.jit_cache["roughness_bundle"] = jax.jit(fn)
@@ -462,7 +475,7 @@ class AppContext:
                 res = eval_trace(
                     self.field, params, bundle, key, self.rs, self.app,
                     cfg.max_recursive_level, cfg.trace_secondary_rays,
-                    level=1)
+                    level=1, rs_secondary=self.rs_sec)
                 return res[f"rgb_{sel}"]
 
             def fn(params, secondary_o, normal_base, rays, keys, noise_std):
@@ -492,6 +505,17 @@ class AppContext:
             proposal_skip=getattr(args, "proposal_skip", False),
             sigma_activation=getattr(cfg, "sigma_activation", "relu"),
         )
+        rs_sec = None
+        sec_ns = getattr(args, "secondary_N_samples", -1)
+        sec_ni = getattr(args, "secondary_N_importance", -1)
+        if sec_ns >= 0 or sec_ni >= 0:
+            from dataclasses import replace as _dc_replace
+
+            rs_sec = _dc_replace(
+                rs,
+                N_samples=sec_ns if sec_ns >= 0 else cfg.N_samples,
+                N_importance=sec_ni if sec_ni >= 0 else cfg.N_importance,
+            )
         if getattr(args, "proposal_skip", False) and getattr(
                 args, "render_coarse_rgb", False):
             raise ValueError(
@@ -511,7 +535,7 @@ class AppContext:
             near=cfg.near,
         )
         ctx = cls(cfg=cfg, args=args, field=field, params=params, rs=rs,
-                  app=app)
+                  rs_sec=rs_sec, app=app)
         if cfg.num_gpus > 1:
             from ..parallel.mesh import get_mesh, replicate
 

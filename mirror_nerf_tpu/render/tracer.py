@@ -65,6 +65,13 @@ class TraceSettings:
     # results back. Exact whenever the mirror-pixel count fits the capacity;
     # 1.0 disables (trace everything).
     compact_frac: float = 1.0
+    # Reduced sample budget for secondary (level >= 1) bundles: when set,
+    # every bounce below level 0 renders with THESE RenderSettings instead
+    # of `render`. Constructed by callers as a dataclasses.replace of
+    # `render` with smaller N_samples/N_importance (everything else must
+    # match — in particular fine_pass, which names the result keys the
+    # blend reads). None = same budget at every level (reference behavior).
+    secondary_render: "RenderSettings | None" = None
     # Also compact the level-0 secondary trace. The reference traces ALL
     # level-0 secondaries (eval.py:159: only_in_mirrors starts at level 1) —
     # but the blended rgb only consumes the secondary color where the mirror
@@ -187,12 +194,17 @@ def trace_rays(
     # read the TOP-level dict only; `sec` keeps rgb_/depth_ keys) — skip the
     # grad-normal computation there. Saves a full density-vjp (or fused
     # tangent) pass over every secondary sample in training.
-    ts_next = ts
-    if field.predict_normal and ts.render.compute_normal:
-        from dataclasses import replace as _dc_replace
+    # Secondary bundles may also run at a reduced sample budget
+    # (`secondary_render`) — a static-shape TPU knob the reference's CUDA
+    # path has no analog of (eval.py renders every level at N_samples +
+    # N_importance); quality-gated per checkpoint (BASELINE.md round 4).
+    from dataclasses import replace as _dc_replace
 
-        ts_next = _dc_replace(
-            ts, render=_dc_replace(ts.render, compute_normal=False))
+    rs_next = ts.secondary_render if ts.secondary_render is not None \
+        else ts.render
+    if field.predict_normal and ts.render.compute_normal:
+        rs_next = _dc_replace(rs_next, compute_normal=False)
+    ts_next = ts if rs_next is ts.render else _dc_replace(ts, render=rs_next)
 
     n = rays.shape[0]
     compact = (ts.compact_frac < 1.0 and ts.compact_at(level)

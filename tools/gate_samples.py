@@ -17,6 +17,11 @@ Usage:
   python tools/gate_samples.py --ckpt logs/<run>/last.ckpt.npz \
       [--root_dir scenes/dense96] [--img_wh 320 240] \
       [--counts 128 112 96 80 64] [--extra_flags ...]
+
+A count may also be "P:S" (e.g. "128:64"): primary budget P with the
+secondary (bounce level >= 1) budget reduced to S — the per-level budget
+knob (eval.py --secondary_N_samples/--secondary_N_importance; static
+shapes make it free on TPU). The gate reference row stays plain 128.
 """
 from __future__ import annotations
 
@@ -34,18 +39,27 @@ def main(argv=None):
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--root_dir", default="scenes/dense96")
     ap.add_argument("--img_wh", nargs=2, type=int, default=[320, 240])
-    ap.add_argument("--counts", nargs="+", type=int,
-                    default=[128, 112, 96, 80, 64])
+    ap.add_argument("--counts", nargs="+", type=str,
+                    default=["128", "112", "96", "80", "64"])
     ap.add_argument("--out", default="sweeps/gate_samples.jsonl")
     ap.add_argument("--tag", default="gate")
     ap.add_argument("--extra_flags", nargs=argparse.REMAINDER, default=[])
     args = ap.parse_args(argv)
 
     rows = []
-    for total in args.counts:
+    for spec in args.counts:
+        primary, _, sec = str(spec).partition(":")
+        total = int(primary)
         ns = total // 2
         ni = total - ns
-        name = f"{args.tag}_s{total}"
+        sec_flags = []
+        label = str(total)
+        if sec:
+            st = int(sec)
+            sec_flags = ["--secondary_N_samples", str(st // 2),
+                         "--secondary_N_importance", str(st - st // 2)]
+            label = f"{total}:{st}"
+        name = f"{args.tag}_s{label.replace(':', '_')}"
         cmd = [sys.executable, "eval.py",
                "--dataset_name", "blender", "--root_dir", args.root_dir,
                "--img_wh", str(args.img_wh[0]), str(args.img_wh[1]),
@@ -58,23 +72,23 @@ def main(argv=None):
                "--max_recursive_level", "2",
                "--fused_field", "--proposal_skip",
                "--ckpt_path", args.ckpt, "--exp_name", name,
-               ] + args.extra_flags
-        print(f"[gate] total={total}: {' '.join(cmd)}", flush=True)
+               ] + sec_flags + args.extra_flags
+        print(f"[gate] total={label}: {' '.join(cmd)}", flush=True)
         r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
         pj = os.path.join(REPO, "results", "blender", name, "psnr.json")
         if r.returncode != 0 or not os.path.exists(pj):
-            rows.append({"samples": total,
+            rows.append({"samples": label,
                          "error": r.stdout[-500:] + r.stderr[-500:]})
-            print(f"[gate] total={total} FAILED", flush=True)
+            print(f"[gate] total={label} FAILED", flush=True)
             continue
         with open(pj) as f:
             m = json.load(f)
-        rows.append({"samples": total, "psnr": m["mean_psnr"],
+        rows.append({"samples": label, "psnr": m["mean_psnr"],
                      "ssim": m.get("mean_ssim")})
-        print(f"[gate] total={total}: PSNR {m['mean_psnr']:.3f} "
+        print(f"[gate] total={label}: PSNR {m['mean_psnr']:.3f} "
               f"SSIM {m.get('mean_ssim', float('nan')):.4f}", flush=True)
 
-    ref = next((r["psnr"] for r in rows if r.get("samples") == 128
+    ref = next((r["psnr"] for r in rows if r.get("samples") == "128"
                 and "psnr" in r), None)
     with open(os.path.join(REPO, args.out), "a") as f:
         f.write(json.dumps({"ckpt": args.ckpt, "tag": args.tag,
@@ -82,10 +96,10 @@ def main(argv=None):
     print("\nsamples  PSNR     dPSNR    SSIM")
     for r in rows:
         if "psnr" not in r:
-            print(f"{r['samples']:7d}  FAILED")
+            print(f"{r['samples']:>7}  FAILED")
             continue
         dp = (r["psnr"] - ref) if ref is not None else float("nan")
-        print(f"{r['samples']:7d}  {r['psnr']:7.3f}  {dp:+7.3f}  "
+        print(f"{r['samples']:>7}  {r['psnr']:7.3f}  {dp:+7.3f}  "
               f"{(r['ssim'] or float('nan')):.4f}")
 
 
