@@ -383,6 +383,13 @@ class AppContext:
                     or has_noise):
                 # deep recursion (e.g. new-mirror inter-reflections at 50
                 # levels): while_loop formulation, one compiled render body
+                # (a while_loop body needs level-invariant shapes, so the
+                # per-level budget knob cannot apply here)
+                if self.rs_sec is not None:
+                    print("[warn] --secondary_N_samples/_importance are "
+                          "ignored on the deep-trace (while_loop) path: "
+                          "its render body is shape-invariant across "
+                          "levels", flush=True)
                 def fn(params, rays, k, frame_time, noise):
                     return eval_trace_deep(
                         self.field, params, rays, k, self.rs, self.app,
