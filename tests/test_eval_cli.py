@@ -224,3 +224,20 @@ def test_eval_proposal_skip_rejects_coarse_rgb(scene, ckpt, tmp_path):
     with pytest.raises(ValueError, match="proposal_skip"):
         _run_eval(scene, ckpt, tmp_path,
                   extra=("--proposal_skip", "--render_coarse_rgb"))
+
+
+@pytest.mark.slow
+def test_eval_secondary_budget_flags(scene, ckpt, tmp_path):
+    """--secondary_N_samples/_importance: reduced bounce budget through the
+    CLI. Direct (level-0) outputs are untouched; psnr.json still appears."""
+    import json
+
+    dir_name, base = _run_eval(scene, ckpt, tmp_path,
+                               extra=("--secondary_N_samples", "4",
+                                      "--secondary_N_importance", "4",
+                                      "--only_eval_idx", "0"))
+    out = os.path.join(base, dir_name)
+    assert os.path.exists(os.path.join(out, "rgb_fine_000.png"))
+    with open(os.path.join(out, "psnr.json")) as f:
+        m = json.load(f)
+    assert np.isfinite(m["mean_psnr"])
