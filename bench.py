@@ -51,15 +51,16 @@ def main(argv=None):
     p.add_argument("--proposal_skip", default=True,
                    action=argparse.BooleanOptionalAction)
     # Stratified sample budget of the proposal-skip fine pass (total =
-    # N_samples + N_importance, reference eval config 64+64). An eval-time
-    # speed/quality knob: any reduction below 128 must be quality-gated on
-    # a trained checkpoint (BASELINE.md) before becoming a default.
+    # N_samples + N_importance, reference eval config 64+64). GATED round 4
+    # on the champion ckpt (BASELINE.md): every reduction fails the 0.05 dB
+    # bar (112: -0.41 dB, 96: -0.94) — 64+64 stays the default.
     p.add_argument("--N_samples", type=int, default=64)
     p.add_argument("--N_importance", type=int, default=64)
     # Reduced secondary-bounce (level >= 1) sample budget: -1 = inherit the
     # primary budget. Static shapes make per-level budgets free on TPU (each
-    # recursion level is its own compiled program); quality-gated on the
-    # champion checkpoint (BASELINE.md) before becoming a default.
+    # recursion level is its own compiled program). GATED round 4: -1.40 dB
+    # at 128:64 on the mirror-heavy dense ring (reflected content dominates
+    # its PSNR) — stays opt-in; re-gate on small-mirror scenes.
     p.add_argument("--secondary_N_samples", type=int, default=-1)
     p.add_argument("--secondary_N_importance", type=int, default=-1)
     args = p.parse_args(argv)
