@@ -127,6 +127,9 @@ def main(argv=None):
             N_importance=(args.secondary_N_importance
                           if args.secondary_N_importance >= 0
                           else args.N_importance))
+        from mirror_nerf_tpu.render.renderer import check_secondary_render
+
+        check_secondary_render(rs, rs_sec)
     ts = TraceSettings(render=rs, trace_secondary_rays=True,
                        max_recursive_level=2, only_trace_mode="eval",
                        is_eval=False, compact_frac=0.25, compact_level0=True,

@@ -523,6 +523,9 @@ class AppContext:
                 N_samples=sec_ns if sec_ns >= 0 else cfg.N_samples,
                 N_importance=sec_ni if sec_ni >= 0 else cfg.N_importance,
             )
+            from ..render.renderer import check_secondary_render
+
+            check_secondary_render(rs, rs_sec)
         if getattr(args, "proposal_skip", False) and getattr(
                 args, "render_coarse_rgb", False):
             raise ValueError(

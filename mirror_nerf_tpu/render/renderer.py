@@ -100,6 +100,23 @@ class RenderSettings:
         return self.fine_pass != "none" and self.N_importance > 0
 
 
+def check_secondary_render(rs, rs_sec) -> None:
+    """A reduced secondary-bounce budget must keep the render's key structure
+    (has_fine) identical to the primary's: eval_trace reads `rgb_fine` from
+    the secondary results when the primary pass is 'fine', so a secondary
+    N_importance of 0 would silently drop the reflection blend (ADVICE r4).
+    """
+    if rs_sec is None:
+        return
+    if rs_sec.has_fine != rs.has_fine:
+        raise ValueError(
+            f"secondary render budget (N_importance={rs_sec.N_importance}, "
+            f"fine_pass={rs_sec.fine_pass!r}) changes has_fine "
+            f"({rs_sec.has_fine}) vs the primary ({rs.has_fine}); use "
+            "secondary_N_importance >= 1 (or 0 only when the primary also "
+            "renders coarse-only)")
+
+
 def sigma_activation(sigmas, act: str):
     """Raw σ -> nonnegative density. "relu" is the reference semantics
     (rendering.py:189-192). "softplus" removes the zero-gradient dead

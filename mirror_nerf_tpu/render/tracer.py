@@ -135,6 +135,38 @@ def _surface_normal(ts, results):
     return l2_normalize(n)
 
 
+def next_level_settings(field, ts):
+    """TraceSettings for the next (deeper) bounce level.
+
+    Deeper bundles with a predicted-normal field never consume their
+    σ-gradient normals (reflection uses the head's normal; normal losses
+    read the TOP-level dict only; `sec` keeps rgb_/depth_ keys) — skip the
+    grad-normal computation there. Saves a full density-vjp (or fused
+    tangent) pass over every secondary sample in training. The disable is
+    applied to BOTH the next render and the carried secondary_render so it
+    stays sticky across recursion levels (ADVICE r4: level+2 re-derives its
+    render from secondary_render).
+
+    Secondary bundles may also run at a reduced sample budget
+    (`secondary_render`) — a static-shape TPU knob the reference's CUDA
+    path has no analog of (eval.py renders every level at N_samples +
+    N_importance); quality-gated per checkpoint (BASELINE.md round 4).
+    """
+    from dataclasses import replace as _dc_replace
+
+    rs_next = ts.secondary_render if ts.secondary_render is not None \
+        else ts.render
+    sec_next = ts.secondary_render
+    if field.predict_normal and rs_next.compute_normal:
+        rs_next = _dc_replace(rs_next, compute_normal=False)
+    if field.predict_normal and sec_next is not None \
+            and sec_next.compute_normal:
+        sec_next = _dc_replace(sec_next, compute_normal=False)
+    return ts if (rs_next is ts.render
+                  and sec_next is ts.secondary_render) else _dc_replace(
+                      ts, render=rs_next, secondary_render=sec_next)
+
+
 def trace_rays(
     field,
     params: dict,
@@ -189,22 +221,7 @@ def trace_rays(
         axis=-1,
     )
 
-    # Deeper bundles with a predicted-normal field never consume their
-    # σ-gradient normals (reflection uses the head's normal; normal losses
-    # read the TOP-level dict only; `sec` keeps rgb_/depth_ keys) — skip the
-    # grad-normal computation there. Saves a full density-vjp (or fused
-    # tangent) pass over every secondary sample in training.
-    # Secondary bundles may also run at a reduced sample budget
-    # (`secondary_render`) — a static-shape TPU knob the reference's CUDA
-    # path has no analog of (eval.py renders every level at N_samples +
-    # N_importance); quality-gated per checkpoint (BASELINE.md round 4).
-    from dataclasses import replace as _dc_replace
-
-    rs_next = ts.secondary_render if ts.secondary_render is not None \
-        else ts.render
-    if field.predict_normal and ts.render.compute_normal:
-        rs_next = _dc_replace(rs_next, compute_normal=False)
-    ts_next = ts if rs_next is ts.render else _dc_replace(ts, render=rs_next)
+    ts_next = next_level_settings(field, ts)
 
     n = rays.shape[0]
     compact = (ts.compact_frac < 1.0 and ts.compact_at(level)

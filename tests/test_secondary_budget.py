@@ -129,3 +129,44 @@ def test_eval_trace_secondary_budget_compacted(setup):
                                    jnp.zeros(()))).sum() > 0
     np.testing.assert_allclose(np.asarray(full["rgb_fine"]),
                                np.asarray(comp["rgb_fine"]), atol=2e-5)
+
+
+def test_check_secondary_render_rejects_key_mismatch():
+    """ADVICE r4: secondary_N_importance=0 with a 'fine' primary would make
+    the secondary render emit only _coarse keys — eval_trace would KeyError
+    (or trace_rays silently drop the reflection blend). The validator must
+    reject it; budgets that keep has_fine are accepted."""
+    from mirror_nerf_tpu.render.renderer import check_secondary_render
+
+    rs = RenderSettings(N_samples=8, N_importance=8, fine_pass="fine")
+    bad = dataclasses.replace(rs, N_importance=0)
+    with pytest.raises(ValueError, match="has_fine"):
+        check_secondary_render(rs, bad)
+    check_secondary_render(rs, dataclasses.replace(rs, N_importance=4))
+    check_secondary_render(rs, None)
+    # coarse-only primary accepts a coarse-only secondary
+    rs_c = RenderSettings(N_samples=8, N_importance=0, fine_pass="none")
+    check_secondary_render(rs_c, dataclasses.replace(rs_c, N_samples=4))
+
+
+def test_compute_normal_disable_sticks_across_levels():
+    """ADVICE r4: with a predicted-normal field plus a secondary_render, the
+    grad-normal disable must persist at level >= 2 (the carried
+    secondary_render used to resurrect compute_normal=True)."""
+    from mirror_nerf_tpu.render.tracer import next_level_settings
+
+    field = MirrorNeRFField(N_emb_xyz=2, N_emb_dir=2, depth=2, width=16,
+                            skips=(1,), predict_normal=True)
+    rs = RenderSettings(N_samples=8, N_importance=8, compute_normal=True)
+    rs_sec = dataclasses.replace(rs, N_samples=4, N_importance=4)
+    ts = TraceSettings(render=rs, trace_secondary_rays=True,
+                       max_recursive_level=3, secondary_render=rs_sec)
+    ts1 = next_level_settings(field, ts)
+    assert not ts1.render.compute_normal
+    assert not ts1.secondary_render.compute_normal
+    assert ts1.render.N_samples == 4  # reduced budget still applied
+    ts2 = next_level_settings(field, ts1)
+    assert not ts2.render.compute_normal  # stays off at level 2
+    # settings are value-equal level-to-level (jit statics hash by equality,
+    # so no retrace)
+    assert ts2 == ts1

@@ -49,6 +49,21 @@ EVAL_FLAGS = [
 ]
 
 
+def find_resume_ckpt(name: str, epochs: int):
+    """Latest per-epoch checkpoint of a previously interrupted run of this
+    arm, if any (VERDICT r4 #7: environment resets kept killing arms that
+    then restarted from scratch). Returns (ckpt_path, next_epoch) or
+    (None, 0). A completed run (next_epoch >= epochs) returns its own
+    last.ckpt so the driver can skip straight to eval."""
+    best = (None, 0)
+    for run in sorted(glob.glob(os.path.join(REPO, "logs", f"*sweep_{name}"))):
+        for ck in glob.glob(os.path.join(run, "epoch=*.ckpt.npz")):
+            ep = int(os.path.basename(ck).split("=")[1].split(".")[0])
+            if ep + 1 > best[1]:
+                best = (ck, ep + 1)
+    return best
+
+
 def run_arm(arm: dict, results_path: str) -> None:
     name = arm["name"]
     epochs = int(arm.get("epochs", 12))
@@ -58,14 +73,25 @@ def run_arm(arm: dict, results_path: str) -> None:
     data_flags = [str(f) for f in arm.get("data_flags", DATA_FLAGS)]
     model_flags = [str(f) for f in arm.get("model_flags", MODEL_FLAGS)]
     base_train = [str(f) for f in arm.get("base_train_flags", TRAIN_FLAGS)]
+    resume_ckpt, resume_epoch = find_resume_ckpt(name, epochs)
+    resume_flags = []
+    if resume_ckpt is not None and resume_epoch < epochs:
+        resume_flags = ["--ckpt_path", resume_ckpt]
+        print(f"[sweep] RESUME {name} from epoch {resume_epoch} "
+              f"({resume_ckpt})", flush=True)
     train_cmd = (
         [sys.executable, "train.py"] + data_flags + model_flags + base_train
         + ["--num_epochs", str(epochs), "--decay_step"] + [str(d) for d in decay]
-        + [str(f) for f in arm.get("train_flags", [])]
+        + [str(f) for f in arm.get("train_flags", [])] + resume_flags
         + ["--exp_name", f"sweep_{name}"])
     t0 = time.time()
-    print(f"[sweep] TRAIN {name}: {' '.join(train_cmd)}", flush=True)
-    tr = subprocess.run(train_cmd, cwd=REPO, capture_output=True, text=True)
+    if resume_ckpt is not None and resume_epoch >= epochs:
+        print(f"[sweep] {name} already trained to epoch {resume_epoch}; "
+              "skipping train", flush=True)
+        tr = subprocess.CompletedProcess(train_cmd, 0, "", "")
+    else:
+        print(f"[sweep] TRAIN {name}: {' '.join(train_cmd)}", flush=True)
+        tr = subprocess.run(train_cmd, cwd=REPO, capture_output=True, text=True)
     train_s = time.time() - t0
     if tr.returncode != 0:
         rec = {"name": name, "status": "train_failed",
@@ -75,6 +101,9 @@ def run_arm(arm: dict, results_path: str) -> None:
         return
     runs = sorted(glob.glob(os.path.join(REPO, "logs", f"*sweep_{name}")))
     ckpt = os.path.join(runs[-1], "last.ckpt.npz")
+    if not os.path.exists(ckpt) and resume_ckpt is not None:
+        # completed-run skip path: the run that finished may not be runs[-1]
+        ckpt = os.path.join(os.path.dirname(resume_ckpt), "last.ckpt.npz")
     rec = {"name": name, "status": "ok", "ckpt": ckpt,
            "train_minutes": round(train_s / 60, 1),
            "epochs": epochs, "decay": decay,
