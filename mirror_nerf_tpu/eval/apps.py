@@ -382,19 +382,15 @@ class AppContext:
                     self.app.substitution or self.app.reflect_objects
                     or has_noise):
                 # deep recursion (e.g. new-mirror inter-reflections at 50
-                # levels): while_loop formulation, one compiled render body
-                # (a while_loop body needs level-invariant shapes, so the
-                # per-level budget knob cannot apply here)
-                if self.rs_sec is not None:
-                    print("[warn] --secondary_N_samples/_importance are "
-                          "ignored on the deep-trace (while_loop) path: "
-                          "its render body is shape-invariant across "
-                          "levels", flush=True)
+                # levels): while_loop formulation, one compiled render body.
+                # A while_loop body needs level-invariant shapes — which is
+                # exactly the per-level-budget semantic: every level >= 1
+                # renders at the (single) secondary budget.
                 def fn(params, rays, k, frame_time, noise):
                     return eval_trace_deep(
                         self.field, params, rays, k, self.rs, self.app,
                         cfg.max_recursive_level, cfg.trace_secondary_rays,
-                        frame_time)
+                        frame_time, rs_secondary=self.rs_sec)
             else:
                 def fn(params, rays, k, frame_time, noise):
                     return eval_trace(
@@ -604,6 +600,7 @@ def eval_trace_deep(
     max_recursive_level: int,
     trace_secondary_rays: bool,
     frame_time=0.0,
+    rs_secondary: "RenderSettings | None" = None,
 ) -> dict:
     """Deep Whitted trace as a `lax.while_loop` (for e.g. the new-mirror
     app's `max_recursive_level=50`, run.sh:147).
@@ -619,12 +616,22 @@ def eval_trace_deep(
     Recursive blend equivalence: (1−m0)b0 + m0[(1−m1)b1 + m1[…]] =
     Σ_L (Π_{j<L} m_j)(1−m_L)·b_L, with the cutoff level contributing its
     full unblended color (m forced to 0 there).
+
+    `rs_secondary`: reduced sample budget for every bounce level >= 1. The
+    while_loop body must be shape-invariant across levels, which is exactly
+    the per-level-budget semantic (all deeper levels share ONE budget):
+    level 0 renders at `rs` outside the loop, the body renders at
+    `rs_secondary`. Key structure (has_fine) must match `rs`
+    (check_secondary_render).
     """
+    from ..render.renderer import check_secondary_render
+
+    check_secondary_render(rs, rs_secondary)
     sel = "fine" if rs.fine_pass == "fine" else "coarse"
     n = rays.shape[0]
 
-    def render_level(rays_l, level, key):
-        res = render_rays(field, params, rays_l, key, rs)
+    def render_level(rays_l, level, key, rs_l=rs):
+        res = render_rays(field, params, rays_l, key, rs_l)
         mask = _resolve_pred_mask(res, sel)
         if mask is None:
             mask = jnp.zeros(n, jnp.float32)
@@ -668,10 +675,12 @@ def eval_trace_deep(
         return jnp.logical_and(level <= max_recursive_level,
                                jnp.any(T > 0.0))
 
+    rs_loop = rs_secondary if rs_secondary is not None else rs
+
     def body(carry):
         level, rays_l, T, rgb_acc, ref_rgb, ref_depth = carry
         key = jax.random.fold_in(kloop, level)
-        res, m, nxt, _, _ = render_level(rays_l, level, key)
+        res, m, nxt, _, _ = render_level(rays_l, level, key, rs_loop)
         # cutoff: the last allowed level contributes unblended
         m = jnp.where(level >= max_recursive_level, 0.0, m)
         base = res[f"rgb_{sel}"]

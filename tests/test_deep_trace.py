@@ -68,3 +68,34 @@ def test_deep_with_plane_mirror(setup):
     assert np.isfinite(np.asarray(out["rgb_fine"])).all()
     # the injected plane forces mirror pixels somewhere
     assert np.asarray(out["mirror_mask_resolved"]).max() == 1.0
+
+
+def test_deep_secondary_budget(setup):
+    """Per-level budget on the deep path (round-5: the while_loop body is
+    shape-invariant, so ALL levels >= 1 render at the one secondary budget).
+    Contracts: equal-budget secondary is bitwise identical to None; a
+    reduced budget leaves level-0 direct outputs untouched; key-structure
+    mismatch is rejected."""
+    field, params, rays, rs = setup
+    app = EvalAppFlags()
+    kwargs = dict(rs=rs, app=app, max_recursive_level=4,
+                  trace_secondary_rays=True)
+    base = eval_trace_deep(field, params, rays, jax.random.PRNGKey(3),
+                           **kwargs)
+    same = eval_trace_deep(field, params, rays, jax.random.PRNGKey(3),
+                           rs_secondary=dataclasses.replace(rs), **kwargs)
+    np.testing.assert_array_equal(np.asarray(base["rgb_fine"]),
+                                  np.asarray(same["rgb_fine"]))
+    red = eval_trace_deep(
+        field, params, rays, jax.random.PRNGKey(3),
+        rs_secondary=dataclasses.replace(rs, N_samples=4, N_importance=4),
+        **kwargs)
+    np.testing.assert_array_equal(np.asarray(base["rgb_fine_direct"]),
+                                  np.asarray(red["rgb_fine_direct"]))
+    np.testing.assert_array_equal(np.asarray(base["mirror_mask_resolved"]),
+                                  np.asarray(red["mirror_mask_resolved"]))
+    assert np.isfinite(np.asarray(red["rgb_fine"])).all()
+    with pytest.raises(ValueError, match="has_fine"):
+        eval_trace_deep(
+            field, params, rays, jax.random.PRNGKey(3),
+            rs_secondary=dataclasses.replace(rs, N_importance=0), **kwargs)
