@@ -186,3 +186,57 @@ def generate_scene(
         with open(os.path.join(root_dir, f"transforms_{split}.json"), "w") as f:
             json.dump(meta, f)
     return root_dir
+
+
+def generate_scene_colmap(
+    root_dir: str,
+    n_images: int = 24,
+    img_wh=(64, 64),
+    camera_angle_x: float = 0.9,
+) -> str:
+    """Write the procedural scene to disk in COLMAP-reconstruction layout
+    (`sparse/cameras.bin` + `sparse/images.bin` + `images/` + `masks/`, the
+    format `RealDatasetColmap` parses — reference
+    `datasets/real_colmap.py:105-258`). Closes the parser→trainer seam for
+    the real-capture path without external data: w2c extrinsics are derived
+    by inverting the generator's c2w poses through the same axis-convention
+    flip the loader undoes ("right up back" -> "right down front").
+    """
+    import imageio.v2 as imageio
+
+    from .colmap_utils import Camera, Image, rotmat2qvec, \
+        write_cameras_binary, write_images_binary
+
+    W, H = img_wh
+    os.makedirs(os.path.join(root_dir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root_dir, "masks"), exist_ok=True)
+    os.makedirs(os.path.join(root_dir, "sparse"), exist_ok=True)
+    focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+
+    cameras = {1: Camera(1, "SIMPLE_PINHOLE", W, H,
+                         np.array([focal, W / 2.0, H / 2.0]))}
+    write_cameras_binary(cameras,
+                         os.path.join(root_dir, "sparse", "cameras.bin"))
+
+    poses = camera_ring(n_images)
+    images = {}
+    for i, c2w in enumerate(poses):
+        name = f"img_{i:04d}.png"
+        rgb, mask, _ = render_image(c2w, H, W, focal)
+        imageio.imwrite(os.path.join(root_dir, "images", name),
+                        (np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+        imageio.imwrite(os.path.join(root_dir, "masks", name),
+                        (mask * 255).astype(np.uint8))
+        # generator convention is the Blender/NeRF one ("right up back");
+        # COLMAP stores w2c in "right down front" -> flip cols 1:3 then
+        # invert (the loader inverts and flips back, real_colmap.py:57-69)
+        c2w_cv = np.concatenate(
+            [c2w[:, 0:1], -c2w[:, 1:3], c2w[:, 3:4]], axis=1)
+        m = np.eye(4)
+        m[:3] = c2w_cv
+        w2c = np.linalg.inv(m)
+        images[i + 1] = Image(
+            i + 1, rotmat2qvec(w2c[:3, :3]), w2c[:3, 3], 1, name,
+            np.zeros((0, 2)), np.zeros((0,), np.int64))
+    write_images_binary(images, os.path.join(root_dir, "sparse", "images.bin"))
+    return root_dir

@@ -23,11 +23,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from mirror_nerf_tpu.data.synthetic import generate_scene  # noqa: E402
+from mirror_nerf_tpu.data.synthetic import (generate_scene,  # noqa: E402
+                                            generate_scene_colmap)
 
 SCENES = {
     "dense96": dict(n_train=96, n_val=2, n_test=4, img_wh=(320, 240)),
     "paper400": dict(n_train=96, n_val=2, n_test=4, img_wh=(400, 300)),
+    # COLMAP-reconstruction layout (sparse/*.bin) — exercises the
+    # real-capture parser->trainer seam end-to-end (VERDICT r4 #8)
+    "colmap48": dict(colmap=True, n_images=48, img_wh=(320, 240)),
 }
 
 
@@ -39,12 +43,16 @@ def main(argv=None):
     for name, kw in SCENES.items():
         if args.only and name != args.only:
             continue
+        kw = dict(kw)
+        is_colmap = kw.pop("colmap", False)
         root = os.path.join(args.out_root, name)
-        if os.path.exists(os.path.join(root, "transforms_train.json")):
+        marker = ("sparse/cameras.bin" if is_colmap
+                  else "transforms_train.json")
+        if os.path.exists(os.path.join(root, marker)):
             print(f"[scenes] {name}: exists, skipping")
             continue
         print(f"[scenes] generating {name} {kw} -> {root}", flush=True)
-        generate_scene(root, **kw)
+        (generate_scene_colmap if is_colmap else generate_scene)(root, **kw)
     print("[scenes] done")
 
 
