@@ -418,10 +418,19 @@ class Trainer:
         step_fn = (self.get_step_fn(statics) if k_disp == 1
                    else self.get_multi_step_fn(statics, k_disp))
 
+        # per-phase wall accumulators (host gather / host->device transfer /
+        # dispatch enqueue / sync fetches) — the reconciliation data for the
+        # microbench-vs-epoch-wall gap (VERDICT r4 #4); logged per epoch
+        timers = {"gather_s": 0.0, "put_s": 0.0, "call_s": 0.0, "sync_s": 0.0}
+        self._epoch_timers = timers
+
         def dispatch(s0: int, k: int, fn):
             """Run steps s0..s0+k-1 (epoch-step indices) in one call."""
             idx = perm[s0 * cfg.batch_size:(s0 + k) * cfg.batch_size]
+            tg = time.time()
             b_rays, b_rgbs, b_masks = gather_batch(rays, rgbs, masks, idx)
+            timers["gather_s"] += time.time() - tg
+            tp = time.time()
             if k == 1:
                 batch = {
                     "rays": jax.device_put(b_rays, bsh),
@@ -444,8 +453,11 @@ class Trainer:
                 # BASELINE.md round 4). Bitwise-identical keys.
                 rng = self._key_stack_fn(k)(
                     self.base_key, jnp.int32(self.global_step))
+            timers["put_s"] += time.time() - tp
+            tc = time.time()
             self.params, self.opt_state, aux = fn(
                 self.params, self.opt_state, batch, rng)
+            timers["call_s"] += time.time() - tc
             self.global_step += k
             return aux
 
@@ -478,7 +490,9 @@ class Trainer:
                 first = False
             if prev_s // max(log_every, 1) != s // max(log_every, 1) \
                     or s >= n_steps:
+                ts = time.time()
                 last_aux = {k: float(v) for k, v in aux.items()}
+                timers["sync_s"] += time.time() - ts
                 check_compaction_overflow(last_aux, cfg.compact_frac)
                 last_aux["lr"] = float(self.lr_schedule(self.global_step))
                 self._log({"epoch": epoch, "step": self.global_step,
@@ -487,6 +501,9 @@ class Trainer:
         dt = time.time() - t0
         last_aux["rays_per_sec"] = (max(n_steps - t_skip, 1) * cfg.batch_size
                                     / max(dt, 1e-9))
+        last_aux["epoch_wall_s"] = dt
+        for tk, tv in timers.items():
+            last_aux[f"t_{tk}"] = round(tv, 3)
         return last_aux
 
     def fit(self, on_epoch_end=None):

@@ -46,6 +46,88 @@ class _FakeDataset:
         return len(self.all_rays)
 
 
+def _profile_real_epoch(args):
+    """One REAL reflection-stage epoch end-to-end (host sampling from the
+    on-disk scene, compiled steps, val render, ckpt write), with the
+    per-phase wall breakdown the Trainer now logs. The printed
+    rays_per_sec is computed exactly like the training log's, so this
+    number must reconcile with val_metrics.jsonl (VERDICT r4 #4)."""
+    import time
+
+    import numpy as np
+
+    from mirror_nerf_tpu.config import Config
+    from mirror_nerf_tpu.data.blender import BlenderDataset
+    from mirror_nerf_tpu.parallel.mesh import get_mesh
+    from mirror_nerf_tpu.train.checkpoints import save_train_ckpt
+    from mirror_nerf_tpu.train.loop import Trainer, render_image_chunked
+    from mirror_nerf_tpu.utils.cache import enable_compilation_cache
+
+    import jax
+
+    enable_compilation_cache()
+    cfg = Config(
+        root_dir=args.real_epoch, img_wh=(320, 240), near=0.05, far=12.0,
+        bound=6.0, model_type=args.model if args.model != "nerf" else
+        "nerf_tpu",
+        N_samples=64, N_importance=64, batch_size=args.batch,
+        num_epochs=20, predict_normal=True, predict_mirror_mask=True,
+        trace_secondary_rays=True, train_geometry_stage=True,
+        only_trace_rays_in_mirrors=True,
+        use_plane_consistent_loss=True, lr=5e-4, chunk=8192,
+        grid_lr_mult=20.0, adam_eps=1e-15,
+        novel_ray_batch=512, novel_pose_jitter=0.2,
+        novel_ray_loss_weight=3e-3, novel_ray_start_epoch=4,
+        compute_dtype=args.compute_dtype,
+        fp32_sigma_grad=args.fp32_sigma_grad,
+        fused_train=args.fused_train,
+        train_proposal_skip=args.train_proposal_skip,
+        steps_per_dispatch=args.steps_per_dispatch,
+    )
+    ds = BlenderDataset(args.real_epoch, "train", cfg.img_wh, cfg)
+    val = BlenderDataset(args.real_epoch, "val", cfg.img_wh, cfg)
+    tr = Trainer(cfg, ds, "/tmp/profile_real_epoch", mesh=get_mesh(1))
+    np_rng = np.random.default_rng(cfg.seed)
+    epoch = 10  # reflection stage, all losses incl. novel-ray reg
+    t0 = time.time()
+    aux = tr.run_epoch(epoch, np_rng)
+    wall = time.time() - t0
+    n_rays = (len(ds.all_rays) // cfg.batch_size) * cfg.batch_size
+    print(f"epoch wall {wall:.1f} s  ({n_rays / wall:,.0f} rays/s incl. "
+          f"compile)")
+    print(f"log-equivalent rays_per_sec: {aux['rays_per_sec']:,.0f} "
+          f"(post-compile window {aux['epoch_wall_s']:.1f} s)")
+    acc = {k[2:]: v for k, v in aux.items() if k.startswith("t_")}
+    accounted = sum(acc.values())
+    print("host-side breakdown of the post-compile window:")
+    for k, v in sorted(acc.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:>9} {v:8.2f} s  {100 * v / aux['epoch_wall_s']:5.1f}%")
+    print(f"  unaccounted (device-bound dispatch wait + python) "
+          f"{aux['epoch_wall_s'] - accounted:8.2f} s")
+    # the two per-epoch host costs outside run_epoch
+    from mirror_nerf_tpu.train.loop import make_trace_settings
+
+    t0 = time.time()
+    fr = val.get_image(0)
+    ts = make_trace_settings(cfg, epoch, False, is_eval=True)
+    res = render_image_chunked(
+        tr.field, tr.params, fr["rays"], fr["mirror_mask"],
+        jax.random.PRNGKey(0), ts, chunk=cfg.chunk)
+    jax.block_until_ready(res)
+    print(f"val render (incl. compile): {time.time() - t0:.1f} s")
+    t0 = time.time()
+    res = render_image_chunked(
+        tr.field, tr.params, fr["rays"], fr["mirror_mask"],
+        jax.random.PRNGKey(1), ts, chunk=cfg.chunk)
+    jax.block_until_ready(res)
+    print(f"val render (steady): {time.time() - t0:.1f} s")
+    t0 = time.time()
+    save_train_ckpt("/tmp/profile_real_epoch/last.ckpt.npz",
+                    jax.device_get(tr.params), jax.device_get(tr.opt_state),
+                    tr.global_step, epoch + 1)
+    print(f"ckpt write: {time.time() - t0:.1f} s")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", choices=["nerf", "nerf_tcnn", "nerf_tpu"],
@@ -68,6 +150,14 @@ def main(argv=None):
                    choices=["auto", "on", "off"])
     p.add_argument("--trace_out", type=str, default="",
                    help="if set, capture a profiler trace of 2 steps here")
+    p.add_argument("--real_epoch", type=str, default="",
+                   help="path to a real scene (e.g. scenes/dense96): run ONE "
+                        "full reflection-stage epoch through Trainer.run_epoch "
+                        "on real data and print the host/device wall breakdown "
+                        "(gather / device_put / dispatch / sync) plus val "
+                        "render and ckpt write — the reconciliation for the "
+                        "microbench-vs-training-log rate gap (VERDICT r4 #4)")
+    p.add_argument("--steps_per_dispatch", type=int, default=0)
     args = p.parse_args(argv)
 
     import jax
@@ -95,6 +185,9 @@ def main(argv=None):
         fused_train=args.fused_train,
         train_proposal_skip=args.train_proposal_skip,
     )
+    if args.real_epoch:
+        return _profile_real_epoch(args)
+
     rng = np.random.default_rng(0)
     ds = _FakeDataset(args.batch * 4, rng)
     tr = Trainer(cfg, ds, "/tmp/profile_train", mesh=get_mesh(1))
