@@ -158,6 +158,12 @@ def main(argv=None):
                         "render and ckpt write — the reconciliation for the "
                         "microbench-vs-training-log rate gap (VERDICT r4 #4)")
     p.add_argument("--steps_per_dispatch", type=int, default=0)
+    # production training runs compact_frac 1.0 (the mirror-heavy protocol
+    # hazard, config.py); the microbench's historical 0.25 default renders
+    # secondary bundles at quarter capacity — a ~1.6x cheaper program than
+    # the real train step (the round-4 microbench-vs-wall-rate discrepancy,
+    # VERDICT r4 #4 — resolved round 5)
+    p.add_argument("--compact_frac", type=float, default=1.0)
     args = p.parse_args(argv)
 
     import jax
@@ -177,7 +183,7 @@ def main(argv=None):
         N_samples=64, N_importance=64, batch_size=args.batch,
         num_epochs=1, predict_normal=True, predict_mirror_mask=True,
         trace_secondary_rays=True, train_geometry_stage=False,
-        only_trace_rays_in_mirrors=True, compact_frac=0.25,
+        only_trace_rays_in_mirrors=True, compact_frac=args.compact_frac,
         smooth_mirror_start_epoch=0, train_mirror_mask_start_epoch=0,
         train_normal_start_epoch=0, use_plane_consistent_loss=True,
         lr=5e-4, compute_dtype=args.compute_dtype,

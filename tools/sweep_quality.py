@@ -49,6 +49,60 @@ EVAL_FLAGS = [
 ]
 
 
+def run_with_watchdog(cmd, log_path: str, hang_window_s: int = 900,
+                      min_cpu_s: float = 5.0, retries: int = 2):
+    """Run `cmd` streaming output to `log_path`, killing + retrying if the
+    process makes no CPU progress for `hang_window_s`.
+
+    The axon TPU tunnel client can deadlock on attach (observed round 5:
+    main thread parks in futex_do_wait with ~3s of CPU forever; the chip
+    itself stays free). Server-side XLA compiles legitimately leave the
+    client at low CPU for minutes, so the window is generous. A killed
+    training arm resumes from its last per-epoch checkpoint on retry
+    (find_resume_ckpt), so a false positive costs at most one epoch +
+    cached compiles.
+
+    Returns a CompletedProcess-alike with .returncode.
+    """
+    for attempt in range(retries + 1):
+        with open(log_path, "ab") as lf:
+            lf.write(f"\n[watchdog] attempt {attempt}: "
+                     f"{' '.join(cmd)}\n".encode())
+            lf.flush()
+            proc = subprocess.Popen(cmd, cwd=REPO, stdout=lf, stderr=lf)
+            last_cpu, last_progress_t = 0.0, time.time()
+            while True:
+                try:
+                    rc = proc.wait(timeout=30)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                try:
+                    with open(f"/proc/{proc.pid}/stat") as sf:
+                        parts = sf.read().rsplit(")", 1)[1].split()
+                    cpu = (int(parts[11]) + int(parts[12])) / os.sysconf(
+                        "SC_CLK_TCK")
+                except (OSError, IndexError, ValueError):
+                    continue
+                if cpu - last_cpu >= min_cpu_s:
+                    last_cpu, last_progress_t = cpu, time.time()
+                elif time.time() - last_progress_t > hang_window_s:
+                    print(f"[watchdog] no CPU progress for {hang_window_s}s "
+                          f"(cpu={cpu:.0f}s); killing pid {proc.pid} "
+                          f"(attempt {attempt})", flush=True)
+                    proc.kill()
+                    proc.wait()
+                    rc = None
+                    break
+            if rc is not None:
+                class R:
+                    returncode = rc
+                return R()
+    class R:
+        returncode = -9
+    return R()
+
+
 def find_resume_ckpt(name: str, epochs: int):
     """Latest per-epoch checkpoint of a previously interrupted run of this
     arm, if any (VERDICT r4 #7: environment resets kept killing arms that
@@ -73,29 +127,44 @@ def run_arm(arm: dict, results_path: str) -> None:
     data_flags = [str(f) for f in arm.get("data_flags", DATA_FLAGS)]
     model_flags = [str(f) for f in arm.get("model_flags", MODEL_FLAGS)]
     base_train = [str(f) for f in arm.get("base_train_flags", TRAIN_FLAGS)]
-    resume_ckpt, resume_epoch = find_resume_ckpt(name, epochs)
-    resume_flags = []
-    if resume_ckpt is not None and resume_epoch < epochs:
-        resume_flags = ["--ckpt_path", resume_ckpt]
-        print(f"[sweep] RESUME {name} from epoch {resume_epoch} "
-              f"({resume_ckpt})", flush=True)
-    train_cmd = (
-        [sys.executable, "train.py"] + data_flags + model_flags + base_train
-        + ["--num_epochs", str(epochs), "--decay_step"] + [str(d) for d in decay]
-        + [str(f) for f in arm.get("train_flags", [])] + resume_flags
-        + ["--exp_name", f"sweep_{name}"])
+    log_path = os.path.join(REPO, "sweeps", f"arm_{name}.log")
     t0 = time.time()
-    if resume_ckpt is not None and resume_epoch >= epochs:
-        print(f"[sweep] {name} already trained to epoch {resume_epoch}; "
-              "skipping train", flush=True)
-        tr = subprocess.CompletedProcess(train_cmd, 0, "", "")
-    else:
-        print(f"[sweep] TRAIN {name}: {' '.join(train_cmd)}", flush=True)
-        tr = subprocess.run(train_cmd, cwd=REPO, capture_output=True, text=True)
+    rc = 0
+    for attempt in range(3):
+        resume_ckpt, resume_epoch = find_resume_ckpt(name, epochs)
+        if resume_ckpt is not None and resume_epoch >= epochs:
+            print(f"[sweep] {name} already trained to epoch {resume_epoch}; "
+                  "skipping train", flush=True)
+            rc = 0
+            break
+        resume_flags = (["--ckpt_path", resume_ckpt]
+                        if resume_ckpt is not None else [])
+        if resume_flags:
+            print(f"[sweep] RESUME {name} from epoch {resume_epoch} "
+                  f"({resume_ckpt})", flush=True)
+        train_cmd = (
+            [sys.executable, "train.py"] + data_flags + model_flags
+            + base_train
+            + ["--num_epochs", str(epochs), "--decay_step"]
+            + [str(d) for d in decay]
+            + [str(f) for f in arm.get("train_flags", [])] + resume_flags
+            + ["--exp_name", f"sweep_{name}"])
+        print(f"[sweep] TRAIN {name} (attempt {attempt}): "
+              f"{' '.join(train_cmd)}", flush=True)
+        rc = run_with_watchdog(train_cmd, log_path, retries=0).returncode
+        if rc == 0:
+            break
+        print(f"[sweep] {name} attempt {attempt} exited rc={rc}; "
+              "retrying with resume", flush=True)
     train_s = time.time() - t0
-    if tr.returncode != 0:
-        rec = {"name": name, "status": "train_failed",
-               "tail": tr.stdout[-2000:] + tr.stderr[-2000:]}
+    if rc != 0:
+        tail = ""
+        try:
+            with open(log_path) as lf:
+                tail = lf.read()[-2000:]
+        except OSError:
+            pass
+        rec = {"name": name, "status": "train_failed", "tail": tail}
         with open(results_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         return
@@ -117,14 +186,22 @@ def run_arm(arm: dict, results_path: str) -> None:
             + [str(f) for f in arm.get("train_flags", [])]
             + [str(f) for f in arm.get("eval_flags", [])] + extra
             + ["--ckpt_path", ckpt, "--exp_name", f"eval_sweep_{name}_{tag}"])
-        ev = subprocess.run(ev_cmd, cwd=REPO, capture_output=True, text=True)
-        pj = os.path.join(REPO, "results", "blender",
+        ev = run_with_watchdog(ev_cmd, log_path, retries=1)
+        ds_name = (data_flags[data_flags.index("--dataset_name") + 1]
+                   if "--dataset_name" in data_flags else "blender")
+        pj = os.path.join(REPO, "results", ds_name,
                           f"eval_sweep_{name}_{tag}", "psnr.json")
         if ev.returncode == 0 and os.path.exists(pj):
             with open(pj) as f:
                 rec[tag] = json.load(f)
         else:
-            rec[tag] = {"error": ev.stdout[-800:] + ev.stderr[-800:]}
+            tail = ""
+            try:
+                with open(log_path) as lf:
+                    tail = lf.read()[-800:]
+            except OSError:
+                pass
+            rec[tag] = {"error": f"rc={ev.returncode}: " + tail}
     with open(results_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(f"[sweep] DONE {name}: {json.dumps(rec)[:400]}", flush=True)
