@@ -465,6 +465,28 @@ class Trainer:
         t0, t_skip = time.time(), 0
         s = 0
         first = True
+        pending = None  # (device aux, global_step at enqueue): lag-1 logging
+
+        def flush(p):
+            """Fetch + log a PREVIOUS log-point's aux. By the next log point
+            it has long finished on device, so the fetch returns without
+            draining the dispatch queue — the mid-epoch pipeline stalls that
+            capped the round-4 wall rate at 80k (BASELINE.md round-5
+            reconciliation: 85 s of a 91 s epoch window blocked in these
+            fetches) are gone. The final aux is still fetched synchronously
+            after the loop, so rays_per_sec keeps covering all device work.
+            """
+            nonlocal last_aux
+            p_aux, p_step = p
+            ts = time.time()
+            last_aux = {k: float(v) for k, v in p_aux.items()}
+            timers["sync_s"] += time.time() - ts
+            check_compaction_overflow(last_aux, cfg.compact_frac)
+            last_aux["lr"] = float(self.lr_schedule(p_step))
+            self._log({"epoch": epoch, "step": p_step,
+                       "stage": "geometry" if geometry_stage else "full",
+                       **last_aux})
+
         while s < n_steps:
             prev_s = s
             if k_disp > 1 and s + k_disp <= n_steps:
@@ -490,14 +512,11 @@ class Trainer:
                 first = False
             if prev_s // max(log_every, 1) != s // max(log_every, 1) \
                     or s >= n_steps:
-                ts = time.time()
-                last_aux = {k: float(v) for k, v in aux.items()}
-                timers["sync_s"] += time.time() - ts
-                check_compaction_overflow(last_aux, cfg.compact_frac)
-                last_aux["lr"] = float(self.lr_schedule(self.global_step))
-                self._log({"epoch": epoch, "step": self.global_step,
-                           "stage": "geometry" if geometry_stage else "full",
-                           **last_aux})
+                if pending is not None:
+                    flush(pending)
+                pending = (aux, self.global_step)
+        if pending is not None:
+            flush(pending)  # the final aux: this fetch drains the queue
         dt = time.time() - t0
         last_aux["rays_per_sec"] = (max(n_steps - t_skip, 1) * cfg.batch_size
                                     / max(dt, 1e-9))
