@@ -22,6 +22,14 @@ A count may also be "P:S" (e.g. "128:64"): primary budget P with the
 secondary (bounce level >= 1) budget reduced to S — the per-level budget
 knob (eval.py --secondary_N_samples/--secondary_N_importance; static
 shapes make it free on TPU). The gate reference row stays plain 128.
+
+A count of the form "NSpNI" (e.g. "64p64", "64p48") renders the
+two-pass PROPOSAL path instead (no --proposal_skip): NS sigma-only coarse
+proposal samples -> PDF -> NI full fine samples. Only meaningful on a
+checkpoint whose coarse tower trained LIVE (--coarse_grid_lr_mult 1,
+round-5 live_proposal arm): a live proposal concentrating NI < 128 fine
+samples may match 128-stratified quality at lower full-eval FLOPs — the
+remaining eval lever toward 2M rays/s (VERDICT r4 #3/5).
 """
 from __future__ import annotations
 
@@ -48,17 +56,24 @@ def main(argv=None):
 
     rows = []
     for spec in args.counts:
-        primary, _, sec = str(spec).partition(":")
-        total = int(primary)
-        ns = total // 2
-        ni = total - ns
+        spec = str(spec)
         sec_flags = []
-        label = str(total)
-        if sec:
-            st = int(sec)
-            sec_flags = ["--secondary_N_samples", str(st // 2),
-                         "--secondary_N_importance", str(st - st // 2)]
-            label = f"{total}:{st}"
+        skip_flags = ["--proposal_skip"]
+        if "p" in spec:  # "NSpNI": live-proposal two-pass row
+            ns, ni = (int(v) for v in spec.split("p"))
+            skip_flags = []
+            label = spec
+        else:
+            primary, _, sec = spec.partition(":")
+            total = int(primary)
+            ns = total // 2
+            ni = total - ns
+            label = str(total)
+            if sec:
+                st = int(sec)
+                sec_flags = ["--secondary_N_samples", str(st // 2),
+                             "--secondary_N_importance", str(st - st // 2)]
+                label = f"{total}:{st}"
         name = f"{args.tag}_s{label.replace(':', '_')}"
         cmd = [sys.executable, "eval.py",
                "--dataset_name", "blender", "--root_dir", args.root_dir,
@@ -70,9 +85,9 @@ def main(argv=None):
                "--N_samples", str(ns), "--N_importance", str(ni),
                "--chunk", "16384", "--split", "test",
                "--max_recursive_level", "2",
-               "--fused_field", "--proposal_skip",
+               "--fused_field",
                "--ckpt_path", args.ckpt, "--exp_name", name,
-               ] + sec_flags + args.extra_flags
+               ] + skip_flags + sec_flags + args.extra_flags
         print(f"[gate] total={label}: {' '.join(cmd)}", flush=True)
         r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
         pj = os.path.join(REPO, "results", "blender", name, "psnr.json")
