@@ -235,11 +235,13 @@ def main():
                 return
             time.sleep(20)
             continue
-        idle_since = time.time()
         arm = json.loads(pending[0])
         run_arm(arm, rpath)
         with open(done_path, "a") as f:
             f.write(pending[0] + "\n")
+        # reset AFTER the arm: a multi-hour arm must not count as idle time
+        # (observed: the driver exited the moment a 35-min arm finished)
+        idle_since = time.time()
 
 
 if __name__ == "__main__":
