@@ -40,6 +40,17 @@ def main(argv=None):
 
     print(f"{len(arms)} seeds: "
           + ", ".join(a["name"] for a in arms))
+    # a diverged run (grid-lr divergence signature: PSNR ~5) is not noise
+    # around a mean — report the divergence RATE separately and compute
+    # mean/std over converged runs only
+    div = [a["name"] for a in arms
+           if isinstance(a.get("psnr_unfused"), dict)
+           and a["psnr_unfused"].get("mean_psnr", 0) < 10.0]
+    if div:
+        print(f"DIVERGED ({len(div)}/{len(arms)}): {', '.join(div)} — "
+              "excluded from mean/std; divergence rate is part of the "
+              "protocol result")
+        arms = [a for a in arms if a["name"] not in div]
     out = {}
     for tag in ("psnr_unfused", "psnr_fused", "psnr_fused_skip"):
         vals = [a[tag]["mean_psnr"] for a in arms
