@@ -187,8 +187,46 @@ class Config:
     # activation it trained with.
     sigma_activation: str = "relu"
 
+    # Resolution-invariant scheduling (round 5): when > 0, every
+    # epoch-indexed schedule knob (num_epochs, decay_step, warmup_epochs,
+    # stage start/end epochs, novel_ray_start_epoch,
+    # only_one_field_fine_epoch) is interpreted as if an epoch had this
+    # many optimizer steps, and rescaled to the dataset's ACTUAL
+    # steps-per-epoch at Trainer construction (`rescale_schedule`). Fixes
+    # the measured failure mode where training the same scene at 400×300
+    # (1.53× rays/epoch) stretched the effective step schedule 1.53× and
+    # cost ~6 dB held-out (BASELINE.md round-5 paper-protocol diagnosis;
+    # step-equivalent rerun recovered +5.7 dB).
+    ref_steps_per_epoch: int = 0
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+
+_EPOCH_KNOBS = (
+    "num_epochs", "warmup_epochs", "train_geometry_stage_end_epoch",
+    "smooth_mirror_start_epoch", "train_mirror_mask_start_epoch",
+    "train_normal_start_epoch", "novel_ray_start_epoch",
+    "only_one_field_fine_epoch",
+)
+
+
+def rescale_schedule(cfg: "Config", steps_per_epoch: int) -> "Config":
+    """Rescale epoch-indexed knobs so their STEP positions match a
+    reference steps-per-epoch (`cfg.ref_steps_per_epoch`). No-op when the
+    flag is unset or the dataset already matches the reference."""
+    ref = int(cfg.ref_steps_per_epoch)
+    if ref <= 0 or steps_per_epoch <= 0 or ref == steps_per_epoch:
+        return cfg
+    scale = ref / float(steps_per_epoch)
+    kw = {}
+    for knob in _EPOCH_KNOBS:
+        v = getattr(cfg, knob)
+        kw[knob] = max(int(round(v * scale)), 1) if knob == "num_epochs" \
+            else int(round(v * scale))
+    kw["decay_step"] = tuple(
+        max(int(round(d * scale)), 1) for d in cfg.decay_step)
+    return cfg.replace(**kw)
 
 
 def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
@@ -313,6 +351,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    default=d.fp32_sigma_grad)
     p.add_argument("--sigma_activation", type=str, default=d.sigma_activation,
                    choices=["relu", "softplus"])
+    # interpret epoch-indexed schedule knobs at this steps-per-epoch and
+    # rescale to the dataset's actual steps-per-epoch (resolution-invariant
+    # recipes; 0 = off). E.g. the dense96 champion recipe is specified at
+    # 7200 steps/epoch; pass --ref_steps_per_epoch 7200 when training the
+    # same recipe at 400x300.
+    p.add_argument("--ref_steps_per_epoch", type=int,
+                   default=d.ref_steps_per_epoch)
     return p
 
 

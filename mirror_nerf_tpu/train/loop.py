@@ -174,6 +174,19 @@ class Trainer:
         n_rays = len(dataset.all_rays) if hasattr(dataset, "all_rays") else len(
             dataset)
         self.steps_per_epoch = max(n_rays // cfg.batch_size, 1)
+        if getattr(cfg, "ref_steps_per_epoch", 0):
+            # resolution-invariant schedules: rescale epoch-indexed knobs
+            # to this dataset's steps-per-epoch (config.rescale_schedule)
+            from ..config import rescale_schedule
+
+            cfg = rescale_schedule(cfg, self.steps_per_epoch)
+            self.cfg = cfg
+            print(f"[trainer] ref_steps_per_epoch="
+                  f"{cfg.ref_steps_per_epoch} -> schedule rescaled for "
+                  f"{self.steps_per_epoch} steps/epoch: num_epochs="
+                  f"{cfg.num_epochs}, decay_step={cfg.decay_step}, "
+                  f"geometry_end={cfg.train_geometry_stage_end_epoch}",
+                  flush=True)
         from .optim import make_lr_schedule
 
         self.lr_schedule = make_lr_schedule(cfg, self.steps_per_epoch)

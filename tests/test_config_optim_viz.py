@@ -242,3 +242,32 @@ class TestVisualization:
         assert grid.shape[0] % H == 0 and grid.shape[1] == W * 4
         assert np.isfinite(grid).all()
         assert grid.min() >= 0 and grid.max() <= 1
+
+
+def test_rescale_schedule_matches_hand_derivation():
+    """--ref_steps_per_epoch (round 5): the dense96 champion recipe
+    (7200 steps/epoch; 20 ep, decay 8/14/18, geometry end 4) rescaled for
+    the paper400 ray pool (10986 steps/epoch) must land on the hand-derived
+    step-equivalent arm that recovered +5.7 dB (BASELINE.md)."""
+    from mirror_nerf_tpu.config import Config, rescale_schedule
+
+    cfg = Config(num_epochs=20, decay_step=(8, 14, 18),
+                 train_geometry_stage_end_epoch=4,
+                 smooth_mirror_start_epoch=2,
+                 train_mirror_mask_start_epoch=2,
+                 train_normal_start_epoch=1, novel_ray_start_epoch=4,
+                 ref_steps_per_epoch=7200)
+    out = rescale_schedule(cfg, 10986)
+    assert out.num_epochs == 13
+    assert out.decay_step == (5, 9, 12)
+    assert out.train_geometry_stage_end_epoch == 3
+    assert out.novel_ray_start_epoch == 3
+    assert out.smooth_mirror_start_epoch == 1
+    assert out.train_normal_start_epoch == 1
+    # no-op cases: flag unset, or dataset already at the reference
+    assert rescale_schedule(cfg.replace(ref_steps_per_epoch=0), 10986) \
+        == cfg.replace(ref_steps_per_epoch=0)
+    assert rescale_schedule(cfg, 7200) == cfg
+    # upscaling direction (training a SMALLER scene with the same recipe)
+    up = rescale_schedule(cfg, 3600)
+    assert up.num_epochs == 40 and up.decay_step == (16, 28, 36)

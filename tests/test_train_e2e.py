@@ -355,3 +355,26 @@ def test_host_local_batch_single_process_matches_shard_batch(scene):
     b = shard_batch(mesh, x)
     np.testing.assert_array_equal(np.asarray(a["a"]), np.asarray(b["a"]))
     assert a["a"].sharding == b["a"].sharding
+
+
+def test_trainer_applies_ref_steps_per_epoch(scene):
+    """Trainer rescales epoch-indexed knobs to the dataset's actual
+    steps-per-epoch when --ref_steps_per_epoch is set (round 5)."""
+    base = Config(
+        root_dir=scene, img_wh=(24, 24), near=0.05, far=12.0, bound=6.0,
+        N_samples=8, N_importance=8, batch_size=128, num_epochs=10,
+        decay_step=(4, 8), train_geometry_stage=True,
+        train_geometry_stage_end_epoch=2,
+        predict_normal=True, predict_mirror_mask=True,
+        trace_secondary_rays=True,
+    )
+    ds = BlenderDataset(scene, "train", base.img_wh, base)
+    steps = len(ds.all_rays) // base.batch_size
+    tr = Trainer(base.replace(ref_steps_per_epoch=steps * 2), ds,
+                 "/tmp/refsteps_test", mesh=get_mesh())
+    assert tr.cfg.num_epochs == 20
+    assert tr.cfg.decay_step == (8, 16)
+    assert tr.cfg.train_geometry_stage_end_epoch == 4
+    # unset -> untouched
+    tr2 = Trainer(base, ds, "/tmp/refsteps_test2", mesh=get_mesh())
+    assert tr2.cfg.num_epochs == 10

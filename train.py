@@ -70,6 +70,10 @@ def main(cfg=None):
     # default uses every local device on the 1-D data axis
     mesh = get_mesh(cfg.num_gpus if cfg.num_gpus > 1 else None)
     trainer = Trainer(cfg, train_ds, log_path, mesh=mesh, val_dataset=val_ds)
+    # the Trainer may rescale epoch-indexed schedule knobs
+    # (--ref_steps_per_epoch, resolution-invariant recipes); everything
+    # below (val-render settings, epoch loop) must see the effective cfg
+    cfg = trainer.cfg
 
     tb = None
     try:
